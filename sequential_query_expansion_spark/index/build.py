@@ -1,0 +1,284 @@
+"""Inverted-index build as DataFrame programs.
+
+Re-creates what Indri's `IndriBuildIndex` + the reference's `dumpindex`
+views expose (occuranceCount.cpp:317-378 inverted file + vocabulary,
+:595-663 forward index, :678-698 stats, :525-549 docid<->docno map) as a
+set of Spark tables:
+
+    docmap(doc_id, url)                — deterministic global ids
+    doc_terms(doc_id, tokens)          — forward index (transient)
+    doc_len(doc_id, dl)
+    vocab(term, df, cf)
+    postings_flat(term, doc_id, tf, dl) — the scoring-join representation
+    postings(term, bucket, df, cf, max_score, blocks[...])
+                                        — blocked, delta+varint compressed,
+                                          block-max metadata (WAND path)
+    stats: n_docs, avgdl, n_terms, total_terms
+
+Scale notes (the 100 TB design):
+- doc ids are partition-contiguous after a range-partition on url: one
+  range exchange, then a per-partition window — never a single-partition
+  global window. Contiguity keeps docID deltas small (tight varints).
+- tf is computed INSIDE the row (Arrow-batched term_frequencies), so the
+  only full-data shuffle in the whole build is the one unavoidable
+  exchange from doc-major to term-major.
+- that exchange is salted by doc-range (`ceil(doc_id / range)`): a
+  stopword with df = 60% of docs lands in S bounded groups instead of one
+  giant one (north_rule's "salted repartition-by-term"). Because salt is
+  a doc-RANGE, concatenating per-salt segments in salt order preserves
+  global docID sort — deterministic block layout, rank-identity safe.
+- per-partition lineage/metrics checkpointing lives in index/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import stem_tokens, term_frequencies, tokenize_col
+from .codec import encode_block
+
+BLOCK_SIZE = 128
+
+# BM25 parameters are fixed at block-max build time; queries using the same
+# params can trust max_score as an upper bound. Keep in sync with oracle.
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class IndexTables:
+    docmap: DataFrame        # doc_id long, url string
+    doc_terms: DataFrame     # doc_id long, tokens array<string>
+    doc_len: DataFrame       # doc_id long, dl int
+    vocab: DataFrame         # term string, df long, cf long
+    postings_flat: DataFrame  # term, doc_id, tf, dl
+    postings: DataFrame | None  # blocked (built lazily)
+    n_docs: int
+    avgdl: float
+
+    def idf_col(self, df_col):
+        return F.log(F.lit(1.0) + (F.lit(self.n_docs) - df_col + 0.5) / (df_col + 0.5))
+
+
+def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """docmap(doc_id, url): doc_id == rank of url in global sort order.
+
+    Scalable global ranking: range-partition by url, sort within
+    partitions, count rows per partition (tiny driver collect of P longs),
+    cumulative offsets broadcast back, per-partition row_number. No global
+    single-partition window anywhere.
+    """
+    spark = pages.sparkSession
+    num_partitions = num_partitions or pages.rdd.getNumPartitions()
+    urls = pages.select("url").repartitionByRange(num_partitions, "url")
+    # persist so the count job and the window job see the SAME range
+    # boundaries (range partitioning samples its input)
+    part = urls.withColumn("pid", F.spark_partition_id()).persist()
+    counts = part.groupBy("pid").count().orderBy("pid").collect()
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+    )
+    w = F.row_number().over(Window.partitionBy("pid").orderBy("url"))
+    return (
+        part.withColumn("rn", w)
+        .join(F.broadcast(off_df), "pid")
+        .select((F.col("offset") + F.col("rn") - 1).alias("doc_id"), "url")
+    )
+
+
+def build_index(
+    pages: DataFrame,
+    stem: bool = False,
+    build_blocked: bool = False,
+    salt_ranges: int = 8,
+) -> IndexTables:
+    """pages(url, warc_ts, html, text, lang) -> IndexTables."""
+    docmap = assign_doc_ids(pages)
+
+    tokens = tokenize_col(F.col("text"))
+    doc_terms = (
+        pages.select("url", tokens.alias("tokens"))
+        .join(docmap, "url")
+        .select("doc_id", "tokens")
+    )
+    if stem:
+        doc_terms = doc_terms.select("doc_id", stem_tokens("tokens").alias("tokens"))
+    doc_terms = doc_terms.persist()
+
+    doc_len = doc_terms.select("doc_id", F.size("tokens").alias("dl"))
+
+    # in-row tf (Arrow) -> single shuffle to term-major
+    postings_flat = (
+        doc_terms.select(
+            "doc_id",
+            F.size("tokens").alias("dl"),
+            F.explode(term_frequencies("tokens")).alias("tt"),
+        )
+        .select(F.col("tt.term").alias("term"), "doc_id", F.col("tt.tf").alias("tf"), "dl")
+        .persist()
+    )
+
+    vocab = postings_flat.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+    gstats = doc_len.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(gstats["n"]), float(gstats["avgdl"])
+
+    blocked = None
+    if build_blocked:
+        blocked = build_blocked_postings(
+            postings_flat, n_docs, avgdl, salt_ranges=salt_ranges
+        )
+
+    return IndexTables(
+        docmap=docmap.persist(),
+        doc_terms=doc_terms,
+        doc_len=doc_len,
+        vocab=vocab.persist(),
+        postings_flat=postings_flat,
+        postings=blocked,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked compressed postings (two-phase salted merge)
+# ---------------------------------------------------------------------------
+
+_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("df_part", T.LongType()),
+        T.StructField("cf_part", T.LongType()),
+        T.StructField(
+            "blocks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("first_doc", T.LongType()),
+                        T.StructField("max_doc", T.LongType()),
+                        T.StructField("n", T.IntegerType()),
+                        T.StructField("max_score", T.DoubleType()),
+                        T.StructField("docs", T.BinaryType()),
+                        T.StructField("tfs", T.BinaryType()),
+                        T.StructField("dls", T.BinaryType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _bm25_upper(tf: np.ndarray, dl: np.ndarray, df: int, n_docs: int, avgdl: float) -> np.ndarray:
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def build_blocked_postings(
+    postings_flat: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    salt_ranges: int = 8,
+    block_size: int = BLOCK_SIZE,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Phase 1: encode per-(term, doc-range-salt) sorted segments.
+    Phase 2: merge segments per term in salt order (ranges are contiguous,
+    so concatenation preserves global docID sort — SURVEY §7 hard part ii).
+
+    Note on max_score: block-max needs the true per-(term,doc) BM25, which
+    needs the term's GLOBAL df. We compute global df first (vocab-sized
+    aggregate, small relative to postings) and broadcast-join it into the
+    segment encoder so phase 1 can emit exact block maxima.
+    """
+    range_size = max(1, (n_docs + salt_ranges - 1) // salt_ranges)
+
+    df_global = postings_flat.groupBy("term").agg(F.count("*").alias("df_g"))
+
+    with_salt = (
+        postings_flat.join(F.broadcast(df_global), "term")
+        .withColumn("salt", (F.col("doc_id") / F.lit(range_size)).cast("int"))
+    )
+
+    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        df_g = int(pdf["df_g"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        scores = _bm25_upper(tfs.astype(np.float64), dls.astype(np.float64),
+                             df_g, n_docs, avgdl)
+        blocks = []
+        for s in range(0, len(doc_ids), block_size):
+            e = min(s + block_size, len(doc_ids))
+            docs_b, tfs_b, dls_b = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
+            blocks.append(
+                {
+                    "first_doc": int(doc_ids[s]),
+                    "max_doc": int(doc_ids[e - 1]),
+                    "n": int(e - s),
+                    "max_score": float(scores[s:e].max()),
+                    "docs": docs_b,
+                    "tfs": tfs_b,
+                    "dls": dls_b,
+                }
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "salt": salt,
+                    "df_part": int(len(doc_ids)),
+                    "cf_part": int(tfs.sum()),
+                    "blocks": blocks,
+                }
+            ]
+        )
+
+    segments = with_salt.groupBy("term", "salt").applyInPandas(
+        encode_segment, schema=_SEGMENT_SCHEMA
+    )
+
+    # Phase 2: tiny groups (≤ salt_ranges rows per term) — no skew possible.
+    merged = (
+        segments.groupBy("term")
+        .agg(
+            F.sum("df_part").alias("df"),
+            F.sum("cf_part").alias("cf"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("salt", "blocks"))
+                    ),
+                    lambda s: s["blocks"],
+                )
+            ).alias("blocks"),
+        )
+        .withColumn(
+            "max_score",
+            F.array_max(F.transform("blocks", lambda b: b["max_score"])),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+        .select("term", "bucket", "df", "cf", "max_score", "blocks")
+    )
+    return merged

@@ -1,0 +1,190 @@
+"""Pure-Python reference engine (the correctness oracle).
+
+A ~200-line dict-based inverted index with exact BM25, RM1/RM3 expansion,
+and TREC metrics. The Spark engine must be rank-identical to this on the
+synthetic corpus (tolerance 1e-9, tie-break (score desc, doc_id asc)) —
+this mirrors the reference's golden-eval methodology (its checked-in
+evals/ files) with an executable oracle instead of frozen files.
+
+Semantics being reproduced (reference citations):
+- collection stats cf/df      — occuranceCount.cpp:29-47 (expressionCount /
+                                documentExpressionCount), :678-698 (stats)
+- doc length                  — occuranceCount.cpp:125-150 (dcf)
+- top-k ranked retrieval      — Indri #combine + <count>k (configs/*)
+  ...rescored with BM25 per BASELINE.json north_rule.
+- RM3 PRF                     — Indri fbDocs/fbTerms (umls/umlsSeqPubMed
+                                .ipynb:602-603), rebuilt as RM1/RM3.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+from .functions.text import stem_py, tokenize_py
+
+# BM25 parameters (table-driven; Robertson k1/b defaults).
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene-style non-negative BM25 idf."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_term(tf: int, dl: int, avgdl: float, n_docs: int, df: int,
+              k1: float = K1, b: float = B) -> float:
+    return idf(n_docs, df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@dataclass
+class OracleIndex:
+    postings: Dict[str, Dict[int, int]]   # term -> {doc_id: tf}
+    doc_len: Dict[int, int]
+    n_docs: int
+    avgdl: float
+    docmap: Dict[int, str]                # doc_id -> url
+
+    @property
+    def vocab(self) -> Dict[str, Tuple[int, int]]:
+        """term -> (df, cf)"""
+        return {
+            t: (len(d), sum(d.values())) for t, d in self.postings.items()
+        }
+
+
+def build_index(urls: Sequence[str], texts: Sequence[str], stem: bool = False) -> OracleIndex:
+    """doc_ids are assigned 0..n-1 in input order (the Spark build matches
+    this by sorting urls within deterministic partitions; tests feed both
+    engines the same ordering)."""
+    postings: Dict[str, Dict[int, int]] = defaultdict(dict)
+    doc_len: Dict[int, int] = {}
+    docmap: Dict[int, str] = {}
+    for doc_id, (url, text) in enumerate(zip(urls, texts)):
+        toks = tokenize_py(text)
+        if stem:
+            toks = [stem_py(t) for t in toks]
+        doc_len[doc_id] = len(toks)
+        docmap[doc_id] = url
+        for term, tf in Counter(toks).items():
+            postings[term][doc_id] = tf
+    n = len(doc_len)
+    avgdl = (sum(doc_len.values()) / n) if n else 0.0
+    return OracleIndex(dict(postings), doc_len, n, avgdl, docmap)
+
+
+def bm25_topk(
+    index: OracleIndex,
+    query_terms: Iterable[str],
+    k: int = 10,
+    weights: Dict[str, float] | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> List[Tuple[int, float]]:
+    """Exact BM25 top-k; OR semantics over query terms; duplicate query
+    terms accumulate (weight 1 each) exactly like the Spark scoring join.
+    Total order: (score desc, doc_id asc)."""
+    scores: Dict[int, float] = defaultdict(float)
+    for term in query_terms:
+        plist = index.postings.get(term)
+        if not plist:
+            continue
+        w = 1.0 if weights is None else weights.get(term, 1.0)
+        df = len(plist)
+        for doc_id, tf in plist.items():
+            scores[doc_id] += w * bm25_term(
+                tf, index.doc_len[doc_id], index.avgdl, index.n_docs, df, k1, b
+            )
+        # OOV terms contribute nothing (idf of df=0 never reached)
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+# ---------------------------------------------------------------------------
+# RM1 / RM3 pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+def rm3_expand(
+    index: OracleIndex,
+    query_terms: Sequence[str],
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
+    k1: float = K1,
+    b: float = B,
+) -> Dict[str, float]:
+    """RM3: estimate P(t|R) from the top-R feedback docs of the unexpanded
+    run (doc weight = softmax-free normalized BM25 score; term weight
+    within doc = tf/dl), keep top fb_terms, interpolate with the original
+    query's uniform ML estimate. Deterministic tie-breaks: (-weight, term).
+    """
+    top = bm25_topk(index, query_terms, k=fb_docs, k1=k1, b=b)
+    if not top:
+        return {t: 1.0 / len(query_terms) for t in query_terms}
+    total_score = sum(s for _, s in top)
+    if total_score <= 0:
+        return {t: 1.0 / len(query_terms) for t in query_terms}
+
+    rm1: Dict[str, float] = defaultdict(float)
+    # invert: iterate term->postings once, probe feedback docs (matches the
+    # Spark semi-join of doc_terms against the feedback doc set)
+    fb = {doc_id: score / total_score for doc_id, score in top}
+    for term, plist in index.postings.items():
+        for doc_id, w_doc in fb.items():
+            tf = plist.get(doc_id)
+            if tf:
+                rm1[term] += w_doc * tf / index.doc_len[doc_id]
+
+    top_terms = sorted(rm1.items(), key=lambda x: (-x[1], x[0]))[:fb_terms]
+    z = sum(w for _, w in top_terms)
+    rm1_n = {t: w / z for t, w in top_terms}
+
+    orig = Counter(query_terms)
+    n_q = sum(orig.values())
+    out: Dict[str, float] = defaultdict(float)
+    for t, c in orig.items():
+        out[t] += orig_weight * c / n_q
+    for t, w in rm1_n.items():
+        out[t] += (1.0 - orig_weight) * w
+    return dict(out)
+
+
+# ---------------------------------------------------------------------------
+# TREC metrics (trec_eval semantics for map / P@k / ndcg / recip_rank)
+# ---------------------------------------------------------------------------
+
+def average_precision(ranked_docs: Sequence[int], rel: set) -> float:
+    if not rel:
+        return 0.0
+    hits = 0
+    s = 0.0
+    for i, d in enumerate(ranked_docs, start=1):
+        if d in rel:
+            hits += 1
+            s += hits / i
+    return s / len(rel)
+
+
+def precision_at(ranked_docs: Sequence[int], rel: set, k: int) -> float:
+    return sum(1 for d in ranked_docs[:k] if d in rel) / k
+
+
+def ndcg_at(ranked_docs: Sequence[int], rel_grades: Dict[int, int], k: int) -> float:
+    dcg = 0.0
+    for i, d in enumerate(ranked_docs[:k], start=1):
+        g = rel_grades.get(d, 0)
+        if g > 0:
+            dcg += (2 ** g - 1) / math.log2(i + 1)
+    ideal = sorted(rel_grades.values(), reverse=True)[:k]
+    idcg = sum((2 ** g - 1) / math.log2(i + 1) for i, g in enumerate(ideal, start=1))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def reciprocal_rank(ranked_docs: Sequence[int], rel: set) -> float:
+    for i, d in enumerate(ranked_docs, start=1):
+        if d in rel:
+            return 1.0 / i
+    return 0.0
