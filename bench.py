@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Measured stages:
+  index_build      — full inverted-index build incl. blocked/compressed
+                     postings (docs/sec reported as ``docs_per_sec``)
+  bm25_q*          — per-query BM25 top-k latency (p50/p99 reported)
+  bm25_topk_batch  — all queries in one scoring join
+  rm3_topk_batch   — sequential RM3 expansion + expanded re-run
+  minhash_dedup    — MinHash→LSH→verify near-dup pairs over documents
+  cosine_topk      — brute-force cosine ANN for 4 probes
+  eval_metrics     — MAP/P@10/NDCG/MRR aggregation
+
+``--scaling`` re-runs the index build at two parallelism levels
+(local[N] and local[4N], N = SPARK_GRAFT_SCALE_BASE or 8) in fresh
+subprocesses and reports throughput + scaling efficiency — the
+two-cluster-size evidence of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _build_and_time(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sequential_query_expansion_spark.index.build import build_index_from_docs
+    from sequential_query_expansion_spark.webtext import load_documents
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    t0 = time.perf_counter()
+    idx = build_index_from_docs(docs, build_blocked=True)
+    # materialize every index table incl. compressed blocks
+    idx.postings_flat.count()
+    idx.vocab.count()
+    blocked = idx.postings.persist()
+    blocked.agg(F.sum("df")).collect()
+    t = time.perf_counter() - t0
+    idx.postings = blocked
+    return idx, t
+
+
+def run_suite(out_path: str | None = None) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sequential_query_expansion_spark import driver_contract as dc
+    from sequential_query_expansion_spark import webtext
+    from sequential_query_expansion_spark.session import get_spark
+
+    spark = get_spark("sqe-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    idx, t_build = _build_and_time(spark, SF_DIR)
+    timings["index_build"] = round(t_build, 3)
+    n_docs = idx.n_docs
+    # seed the contract's index memo so query benches measure QUERY time
+    webtext._INDEX_CACHE[(SF_DIR, False, id(spark))] = idx
+
+    from sequential_query_expansion_spark.scoring.bm25 import (
+        query_term_table, score_topk,
+    )
+
+    queries = webtext.queries_df(spark)
+    qt_all = query_term_table(queries).persist()
+    qt_all.count()
+
+    # warm-up (JVM/codegen) then per-query latency
+    score_topk(idx, qt_all, k=10).count()
+    per_q = []
+    for qid in sorted(webtext.WEB_QUERIES):
+        qt = qt_all.filter(qt_all.qid == qid)
+        t0 = time.perf_counter()
+        score_topk(idx, qt, k=10).count()
+        per_q.append(time.perf_counter() - t0)
+    timings["bm25_p50"] = round(statistics.median(per_q), 3)
+    timings["bm25_p99"] = round(
+        sorted(per_q)[max(0, int(len(per_q) * 0.99) - 1)], 3
+    )
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench("bm25_topk_batch", dc.q_bm25_topk)
+    bench("rm3_topk_batch", dc.q_bm25_rm3_topk)
+    bench("minhash_dedup", dc.q_minhash_dedup)
+    bench("cosine_topk", dc.q_cosine_topk)
+    bench("eval_metrics", dc.q_eval_metrics)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_build, 1),
+        "cpus": CPUS,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+    return result
+
+
+def run_scaling() -> None:
+    """Same index-build job at N and 4N cores; efficiency = T(4N)·4N…
+    actually throughput ratio / core ratio."""
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "8"))
+    results = {}
+    for cpus in (base, base * 4):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_MODE="build_only")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(last)
+    tp_n = results[base]["docs_per_sec"]
+    tp_4n = results[base * 4]["docs_per_sec"]
+    eff = tp_4n / (4.0 * tp_n)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput": {str(base): tp_n, str(base * 4): tp_4n},
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+def run_build_only() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sequential_query_expansion_spark.session import get_spark
+
+    spark = get_spark("sqe-bench-build", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    idx, t_build = _build_and_time(spark, SF_DIR)
+    print(json.dumps({
+        "metric": "index_build_sec",
+        "value": round(t_build, 3),
+        "unit": "sec",
+        "queries": {"index_build": round(t_build, 3)},
+        "sf": _sf_from_dir(SF_DIR),
+        "docs_per_sec": round(idx.n_docs / t_build, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif os.environ.get("SPARK_GRAFT_BENCH_MODE") == "build_only":
+        run_build_only()
+    else:
+        run_suite()

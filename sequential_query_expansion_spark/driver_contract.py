@@ -1,0 +1,647 @@
+"""Driver-contract implementations: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data-pipeline operators. Each Spark callable takes
+(spark, sf_dir), reads the driver's parquet tables, and returns a
+DataFrame whose column names/types line up exactly with the paired
+DuckDB SQL in ``ORACLE_SQL`` (the driver compares row-count + schema +
+order-insensitive value-hash at sf=0.01).
+
+Cross-engine float policy: every floating aggregate is rounded in BOTH
+engines before hashing, and every rank that feeds a comparison is
+computed over the ROUNDED sort key, so last-ulp summation-order
+differences between Spark and DuckDB can neither flip a rank nor change
+a hash (SURVEY §7 hard part iii).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .evalmetrics import evaluate
+from .expansion.rm3 import rm3_expand_df, rm3_topk
+from .functions.text import TOKENIZE_SQL_DUCKDB
+from .index.build import K1, B
+from .operators import dedup, similarity, text_analysis
+from .scoring.bm25 import query_term_table, score_topk
+from .webtext import (
+    WEB_QUERIES,
+    doc_index,
+    load_documents,
+    load_embeddings,
+    pseudo_qrels,
+    queries_df,
+    query_term_rows,
+)
+
+TOPK = 10
+FB_DOCS = 10
+FB_TERMS = 20
+ORIG_W = 0.7           # reference's #weight(0.7 orig ...) interpolation
+RANK_ROUND = 6
+SCORE_ROUND = 4
+COOC_MIN_DOCS = 5
+PROBE_IDS = [0, 1, 2, 3]
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_TOK = TOKENIZE_SQL_DUCKDB.format(col="text")
+
+_BASE = f"""
+doctoks AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM doctoks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+"""
+
+
+def _qterms_cte() -> str:
+    vals = ",\n    ".join(
+        f"('{q}', '{t}', {w})" for q, t, w in query_term_rows()
+    )
+    return f"qterms(qid, term, weight) AS (VALUES\n    {vals})"
+
+
+_SCORED = f"""
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+topk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scored
+)
+"""
+
+# RM3 over the unexpanded top-FB_DOCS run (mirrors expansion/rm3.py).
+_RM3 = f"""
+fbtop AS (SELECT qid, doc_id, score FROM topk WHERE rank <= {FB_DOCS}),
+fb AS (SELECT qid, doc_id,
+              score / sum(score) OVER (PARTITION BY qid) AS w_doc FROM fbtop),
+rm1 AS (
+  SELECT fb.qid, tf.term, sum(fb.w_doc * tf.tf::DOUBLE / dl.dl) AS w
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id JOIN dl ON dl.doc_id = fb.doc_id
+  GROUP BY fb.qid, tf.term
+),
+rm1top AS (
+  SELECT * FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(w, {RANK_ROUND + 3}) DESC, term) AS rn
+    FROM rm1) WHERE rn <= {FB_TERMS}
+),
+rm1n AS (SELECT qid, term,
+                {1.0 - ORIG_W} * w / sum(w) OVER (PARTITION BY qid) AS weight
+         FROM rm1top),
+orig AS (SELECT qid, term,
+                {ORIG_W} * weight / sum(weight) OVER (PARTITION BY qid) AS weight
+         FROM qterms),
+expanded AS (
+  SELECT qid, term, sum(weight) AS weight
+  FROM (SELECT * FROM orig UNION ALL SELECT * FROM rm1n) GROUP BY qid, term
+)
+"""
+
+_SHINGLES = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+  FROM doctoks WHERE len(toks) >= 8
+),
+shsz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         common::DOUBLE / (sa.sz + sb.sz - common) AS jaccard
+  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+  JOIN shsz sa ON sa.doc_id = p.doc_a
+  JOIN shsz sb ON sb.doc_id = p.doc_b
+)
+"""
+
+_QRELS = """
+nterms AS (SELECT qid, count(DISTINCT term) AS n_terms FROM qterms GROUP BY qid),
+qhits AS (SELECT q.qid, tf.doc_id, count(*) AS n_hit, min(tf.tf) AS min_tf
+          FROM (SELECT DISTINCT qid, term FROM qterms) q
+          JOIN tf USING (term) GROUP BY q.qid, tf.doc_id),
+qrels AS (SELECT h.qid, h.doc_id,
+                 CASE WHEN min_tf >= 2 THEN 2 ELSE 1 END AS rel
+          FROM qhits h JOIN nterms USING (qid) WHERE n_hit = n_terms)
+"""
+
+_SW = "', '".join(text_analysis.QUALITY_STOPWORDS)
+_LANGS = sorted(text_analysis.LANG_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+# ---------------------------------------------------------------------------
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    v = idx.vocab.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("cf").cast("long").alias("total_terms"),
+    )
+    d = idx.doc_len.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    return d.crossJoin(v).select("n_docs", "n_terms", "total_terms", "avgdl")
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_index(spark, sf_dir).vocab.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+def q_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        doc_index(spark, sf_dir)
+        .postings_flat.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("doc_csv"),
+        )
+    )
+
+
+def q_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_index(spark, sf_dir).doc_terms.select(
+        "doc_id", F.concat_ws(" ", "tokens").alias("terms_str")
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_analysis.token_stats(load_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_analysis.quality_score(load_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        "keep",
+    )
+
+
+def q_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_analysis.langid(load_documents(spark, sf_dir))
+    return out.groupBy("lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("lang_hits").cast("long").alias("total_hits"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(load_documents(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.exact_dedup(load_documents(spark, sf_dir))
+    return out.select(
+        "fp",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_doc").cast("long").alias("keep_doc"),
+        F.array_join("dup_docs", ",").alias("dup_csv"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.8)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_lsh_dedup(load_documents(spark, sf_dir), threshold=0.8)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (bit-level hashing is not reproducible in ANSI SQL)
+    return dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=6)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same retrieval as q_bm25_topk but through the compressed blocked
+    postings + block-max WAND kernel — shares bm25_topk's oracle SQL."""
+    from .scoring.wand import wand_topk
+
+    idx = doc_index(spark, sf_dir, blocked=True)
+    qt = query_term_table(queries_df(spark))
+    out = wand_topk(idx, qt, k=TOPK, salt_ranges=8, rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = rm3_expand_df(
+        idx, qt, fb_docs=FB_DOCS, fb_terms=FB_TERMS, orig_weight=ORIG_W,
+        rank_round=RANK_ROUND,
+    )
+    return out.select("qid", "term", F.round("weight", 6).alias("weight"))
+
+
+def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = rm3_topk(
+        idx, qt, k=TOPK, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+        orig_weight=ORIG_W, rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    run = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND).select(
+        "qid", "doc_id", "rank", "score"
+    )
+    qrels = pseudo_qrels(spark, sf_dir)
+    out = evaluate(run, qrels, p_at=10, ndcg_at=10)
+    return out.select("metric", "qid", F.round("value", 6).alias("value"))
+
+
+def q_cooccur_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop co-occurrence expansion: J1 graph lookup + A1 mutual-count
+    filter + F5 orig-term exclusion + T1 top-N, over the corpus itself."""
+    idx = doc_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in query_term_rows()], "qid string, term string"
+    ).distinct()
+    qdocs = (
+        idx.postings_flat.join(F.broadcast(qt), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    cands = (
+        qdocs.join(idx.postings_flat.select("doc_id", F.col("term").alias("cand")), "doc_id")
+        .groupBy("qid", "cand")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+        .join(
+            qt.select("qid", F.col("term").alias("cand")),
+            ["qid", "cand"],
+            "left_anti",
+        )
+        .filter(F.col("n_docs") >= COOC_MIN_DOCS)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_docs"), F.asc("cand"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cand", "n_docs", "rank")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_vec")
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("vec"))
+        .join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos",
+            similarity.cosine_similarity_col(F.col("p_vec"), F.col("vec")),
+        )
+    )
+    # rank on the rounded cosine for cross-engine stability
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round("cos", RANK_ROUND)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("probe_id", "vec_id", "rank", F.round("cos", 5).alias("cos"))
+    )
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: approximate by construction
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.cosine_topk_lsh(emb, probes, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+def build_oracle_sql() -> dict:
+    qterms = _qterms_cte()
+    langs_hits = ",\n  ".join(
+        "len(list_filter(toks, t -> list_contains(['{words}'], t))) AS {lang}".format(
+            words="', '".join(text_analysis.LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in _LANGS
+    )
+    lang_case = " ".join(
+        f"WHEN {lang} = best THEN '{lang}'" for lang in _LANGS
+    )
+    greatest = ", ".join(_LANGS)
+
+    sql = {}
+
+    sql["collection_stats"] = f"""
+WITH {_BASE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM vocab)::BIGINT AS n_terms,
+       (SELECT sum(cf) FROM vocab)::BIGINT AS total_terms,
+       round((SELECT avgdl FROM stats), 6) AS avgdl
+"""
+
+    sql["vocab_stats"] = f"""
+WITH {_BASE}
+SELECT term, df, cf FROM vocab
+"""
+
+    sql["postings_lists"] = f"""
+WITH {_BASE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_csv
+FROM tf GROUP BY term
+"""
+
+    sql["doc_vectors"] = f"""
+WITH {_BASE}
+SELECT doc_id, array_to_string(toks, ' ') AS terms_str FROM doctoks
+"""
+
+    sql["doc_token_stats"] = f"""
+WITH {_BASE}
+SELECT d.doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_unique,
+       length(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')))::BIGINT AS n_chars_norm
+FROM documents d JOIN doctoks USING (doc_id)
+"""
+
+    sql["quality_score"] = f"""
+WITH {_BASE},
+q AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains(['{_SW}'], t)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM doctoks)
+SELECT doc_id, n_tokens, round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       (n_tokens >= 10 AND stopword_ratio <= 0.5) AS keep
+FROM q
+"""
+
+    sql["langid_counts"] = f"""
+WITH {_BASE},
+hits AS (
+  SELECT doc_id,
+  {langs_hits}
+  FROM doctoks),
+pred AS (
+  SELECT doc_id, greatest({greatest}) AS best,
+         CASE WHEN greatest({greatest}) = 0 THEN 'und' {lang_case} END AS lang_pred
+  FROM hits)
+SELECT lang_pred, count(*)::BIGINT AS n_docs, sum(best)::BIGINT AS total_hits
+FROM pred GROUP BY lang_pred
+"""
+
+    sql["fingerprint"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+    sql["exact_dedup"] = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc,
+       coalesce(array_to_string(list_sort(list(doc_id))[2:], ','), '') AS dup_csv
+FROM documents GROUP BY 1
+"""
+
+    jaccard_select = f"""
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jpairs WHERE jaccard >= 0.8
+"""
+    sql["ngram_jaccard"] = f"WITH {_BASE},\n{_SHINGLES}\n{jaccard_select}"
+    # LSH recall at j≥0.8 with 128 hashes / 32 bands is ≈1 → identical output
+    sql["minhash_dedup"] = sql["ngram_jaccard"]
+
+    sql["bm25_topk"] = f"""
+WITH {_BASE},
+{qterms},
+{_SCORED}
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM topk WHERE rank <= {TOPK}
+"""
+    # WAND must produce the identical result set through the compressed path
+    sql["bm25_topk_wand"] = sql["bm25_topk"]
+
+    sql["rm3_expansion"] = f"""
+WITH {_BASE},
+{qterms},
+{_SCORED},
+{_RM3}
+SELECT qid, term, round(weight, 6) AS weight FROM expanded
+"""
+
+    sql["bm25_rm3_topk"] = f"""
+WITH {_BASE},
+{qterms},
+{_SCORED},
+{_RM3},
+scored2 AS (
+  SELECT e.qid, tf.doc_id,
+         sum(e.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM expanded e
+  JOIN tf ON e.term = tf.term
+  JOIN vocab v ON v.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.qid, tf.doc_id
+),
+topk2 AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scored2
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM topk2 WHERE rank <= {TOPK}
+"""
+
+    sql["eval_metrics"] = f"""
+WITH {_BASE},
+{qterms},
+{_SCORED},
+{_QRELS},
+run AS (SELECT qid, doc_id, rank FROM topk WHERE rank <= {TOPK}),
+j AS (SELECT r.qid, r.doc_id, r.rank, coalesce(qr.rel, 0) AS rel
+      FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+perhit AS (
+  SELECT qid, doc_id, rank, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS hits
+  FROM j),
+aggq AS (
+  SELECT qid,
+         sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0 END) AS hits_at_p,
+         sum(CASE WHEN rel > 0 AND rank <= 10
+                  THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg
+  FROM perhit GROUP BY qid),
+ideal AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+        FROM qrels)
+  WHERE irank <= 10 GROUP BY qid),
+perq AS (
+  SELECT q.qid,
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.sum_prec, 0) / n.n_rel ELSE 0.0 END AS map,
+         coalesce(a.hits_at_p, 0)::DOUBLE / 10 AS "P_10",
+         CASE WHEN i.idcg > 0
+              THEN coalesce(a.dcg, 0) / i.idcg ELSE 0.0 END AS ndcg_cut_10,
+         CASE WHEN a.first_rel IS NOT NULL
+              THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank
+  FROM (SELECT DISTINCT qid FROM run) q
+  LEFT JOIN aggq a USING (qid)
+  LEFT JOIN nrel n USING (qid)
+  LEFT JOIN ideal i USING (qid)),
+longf AS (
+  SELECT 'map' AS metric, qid, map AS value FROM perq
+  UNION ALL SELECT 'P_10', qid, "P_10" FROM perq
+  UNION ALL SELECT 'ndcg_cut_10', qid, ndcg_cut_10 FROM perq
+  UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq)
+SELECT metric, qid, round(value, 6) AS value FROM longf
+UNION ALL
+SELECT metric, 'all' AS qid, round(avg(value), 6) AS value
+FROM longf GROUP BY metric
+"""
+
+    sql["cooccur_expand"] = f"""
+WITH {_BASE},
+{_qterms_cte()},
+qt AS (SELECT DISTINCT qid, term FROM qterms),
+qdocs AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qt JOIN tf USING (term)),
+cands AS (
+  SELECT q.qid, tf.term AS cand, count(DISTINCT tf.doc_id)::BIGINT AS n_docs
+  FROM qdocs q JOIN tf ON tf.doc_id = q.doc_id
+  GROUP BY q.qid, tf.term),
+filtered AS (
+  SELECT c.* FROM cands c
+  LEFT JOIN qt ON qt.qid = c.qid AND qt.term = c.cand
+  WHERE qt.term IS NULL AND c.n_docs >= {COOC_MIN_DOCS}),
+ranked AS (
+  SELECT qid, cand, n_docs,
+         row_number() OVER (PARTITION BY qid ORDER BY n_docs DESC, cand) AS rank
+  FROM filtered)
+SELECT qid, cand, n_docs, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+    probe_list = ", ".join(str(p) for p in PROBE_IDS)
+    sql["cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN ({probe_list})),
+scored AS (
+  SELECT p.probe_id, e.vec_id, list_cosine_similarity(p.pv, e.v) AS cos
+  FROM p, e WHERE e.vec_id <> p.probe_id),
+ranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(cos, {RANK_ROUND}) DESC, vec_id) AS rank
+  FROM scored)
+SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+    return sql
+
+
+SPARK_QUERIES = {
+    "collection_stats": q_collection_stats,
+    "vocab_stats": q_vocab_stats,
+    "postings_lists": q_postings_lists,
+    "doc_vectors": q_doc_vectors,
+    "doc_token_stats": q_doc_token_stats,
+    "quality_score": q_quality_score,
+    "langid_counts": q_langid_counts,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,        # rows-only
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_wand": q_bm25_topk_wand,
+    "rm3_expansion": q_rm3_expansion,
+    "bm25_rm3_topk": q_bm25_rm3_topk,
+    "eval_metrics": q_eval_metrics,
+    "cooccur_expand": q_cooccur_expand,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_lsh": q_cosine_topk_lsh,    # rows-only (approximate)
+}

@@ -157,6 +157,62 @@ def build_index(
     )
 
 
+def build_index_from_docs(
+    docs: DataFrame,
+    stem: bool = False,
+    build_blocked: bool = False,
+    salt_ranges: int = 8,
+) -> IndexTables:
+    """Same build over a pre-keyed table docs(doc_id long, text string).
+
+    Used for corpora that already carry a stable integer key (the driver's
+    ``documents`` testdata table); skips the global url-ranking exchange
+    entirely — one less shuffle than :func:`build_index`.
+    """
+    docmap = docs.select("doc_id", F.col("doc_id").cast("string").alias("url"))
+
+    doc_terms = docs.select("doc_id", tokenize_col(F.col("text")).alias("tokens"))
+    if stem:
+        doc_terms = doc_terms.select("doc_id", stem_tokens("tokens").alias("tokens"))
+    doc_terms = doc_terms.persist()
+
+    doc_len = doc_terms.select("doc_id", F.size("tokens").alias("dl"))
+
+    postings_flat = (
+        doc_terms.select(
+            "doc_id",
+            F.size("tokens").alias("dl"),
+            F.explode(term_frequencies("tokens")).alias("tt"),
+        )
+        .select(F.col("tt.term").alias("term"), "doc_id", F.col("tt.tf").alias("tf"), "dl")
+        .persist()
+    )
+
+    vocab = postings_flat.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+    gstats = doc_len.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(gstats["n"]), float(gstats["avgdl"])
+
+    blocked = None
+    if build_blocked:
+        blocked = build_blocked_postings(
+            postings_flat, n_docs, avgdl, salt_ranges=salt_ranges
+        )
+
+    return IndexTables(
+        docmap=docmap,
+        doc_terms=doc_terms,
+        doc_len=doc_len,
+        vocab=vocab.persist(),
+        postings_flat=postings_flat,
+        postings=blocked,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Blocked compressed postings (two-phase salted merge)
 # ---------------------------------------------------------------------------

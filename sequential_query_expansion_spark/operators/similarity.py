@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- ``cosine_topk``      — exact brute-force top-k, built-in column algebra
+  only (F.zip_with dot product + F.aggregate norms, deterministic left
+  fold so the DuckDB oracle's sequential sum matches bit-for-bit-ish).
+- ``cosine_topk_lsh``  — random-hyperplane LSH bucketing: each vector is
+  signed against H fixed hyperplanes → a bucket code; probes search only
+  their own bucket plus ``probe_bits``-hamming neighbor buckets. The scan
+  side shuffles once on bucket code; probe side is broadcast.
+- ``embedding_near_dup`` — all-pairs cosine ≥ t via the same LSH buckets.
+
+At 100 TB the brute path is a single broadcast-join + window (no shuffle
+of the big side beyond the top-k agg); the LSH path prunes the scan by
+bucket equality — partition pruning if the table is written bucketed by
+code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each probe.
+
+    probes(probe_id, embedding) is tiny → broadcast; the big embeddings
+    table is scanned once, never shuffled before the per-probe top-k agg.
+    Self-matches (same id) are excluded. Order: (cos desc, vec_id asc).
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_similarity_col(F.col("p_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def bucket_code_col(vec_col, planes: np.ndarray):
+    """Sign-pattern bucket code as a long column — built-ins only:
+    code = Σ_i [dot(vec, plane_i) > 0] << i."""
+    code = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        code = code + F.when(_dot(vec_col, lit_plane) > 0, F.lit(1 << i)).otherwise(0)
+    return code
+
+
+def with_bucket(
+    embeddings: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return embeddings.withColumn("bucket", bucket_code_col(F.col(vec_col), planes))
+
+
+def _neighbor_codes(code: int, n_planes: int, probe_bits: int) -> list:
+    """All codes within hamming distance ≤ probe_bits (probe_bits ≤ 2)."""
+    out = {code}
+    if probe_bits >= 1:
+        for i in range(n_planes):
+            out.add(code ^ (1 << i))
+    if probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                out.add(code ^ (1 << i) ^ (1 << j))
+    return sorted(out)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    probe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_bits`` sign flips of the probe's bucket (multi-probe LSH)."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    base = with_bucket(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        planes,
+        "vec",
+    )
+    p = with_bucket(
+        probes.select(
+            F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+        ),
+        planes,
+        "p_vec",
+    )
+    n_codes = F.udf(
+        lambda c: _neighbor_codes(c, n_planes, probe_bits), "array<long>"
+    )  # driver-tiny probe side only — never on the scan path
+    p = p.select(
+        "probe_id", "p_vec", F.explode(n_codes("bucket")).alias("bucket")
+    )
+    scored = (
+        base.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_similarity_col(F.col("p_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via same-bucket candidate generation.
+
+    High-cosine pairs agree on most hyperplane signs → same bucket with
+    high probability; candidate verification is exact cosine.
+    """
+    dim = len(embeddings.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    base = with_bucket(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        planes,
+        "vec",
+    )
+    a = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", cosine_similarity_col(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+        .distinct()
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is built-in column algebra over the frozen tokenizer
+contract (functions/text.py) — whole-stage codegen, no Python in the hot
+path — so each operator is a narrow projection+agg that Catalyst can
+pipeline into the parquet scan.
+
+Operators:
+  token_stats        — per-doc token / unique-token counts
+  quality_score      — length / stopword-ratio / mean-token-length gates
+  fingerprint        — md5 document fingerprint over normalized text
+  langid             — stopword-profile language heuristic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_col
+
+# Tiny per-language stopword profiles for the heuristic language id.
+# Deterministic + SQL-expressible (the DuckDB oracle mirrors this table).
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _norm_text(col: Column) -> Column:
+    """The normalization half of the tokenizer contract: lowercase, every
+    non-[a-z0-9] run → single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokenize_col(F.col(text_col)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_chars_norm)."""
+    toks = tokenize_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(_norm_text(F.col(text_col))).alias("n_chars_norm"),
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, mean_token_len, keep).
+
+    The classic CCNet/Gopher-style cheap gates: token count floor,
+    stopword-ratio ceiling. All built-in higher-order array functions.
+    """
+    toks = tokenize_col(F.col(text_col))
+    d = docs.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+    sw = F.size(F.filter("toks", lambda t: t.isin(QUALITY_STOPWORDS)))
+    total_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    out = d.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n > 0, sw.cast("double") / n).otherwise(0.0).alias("stopword_ratio"),
+        F.when(n > 0, total_len.cast("double") / n).otherwise(0.0).alias("mean_token_len"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the normalized text. The exact-dedup key:
+    identical-after-normalization docs share fp (reference analogue: the
+    docno-keyed dedup guards, occuranceCount.cpp:59-65)."""
+    return docs.select(
+        F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("fp")
+    )
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax over per-language stopword
+    hit counts; 'und' (undetermined) when no profile fires. Deterministic
+    tie-break: higher count wins, then language code ascending."""
+    toks = tokenize_col(F.col(text_col))
+    d = docs.select(F.col(id_col), toks.alias("toks"))
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = [
+        F.size(F.filter("toks", lambda t: t.isin(LANG_STOPWORDS[lang]))).alias(lang)
+        for lang in langs
+    ]
+    d = d.select(id_col, *hit_cols)
+    # argmax via greatest + case chain (ascending code order on ties)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(lang) == best), F.lit(lang)).otherwise(pred)
+    return d.select(
+        id_col, pred.alias("lang_pred"), best.cast("int").alias("lang_hits")
+    )

@@ -55,11 +55,15 @@ def score_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """query_terms(qid, term, weight) -> (qid, doc_id, url, rank, score).
 
     Tie-break (score desc, doc_id asc) — the total order shared with the
-    oracle (SURVEY §7 hard part iii).
+    oracle (SURVEY §7 hard part iii). ``rank_round``: rank on
+    round(score, d) instead of the raw score — used for cross-engine
+    (DuckDB-oracle) comparisons where last-ulp float-sum differences must
+    not flip near-tied ranks.
     """
     qt = query_terms.join(F.broadcast(index.vocab.select("term", "df")), "term")
     scored = (
@@ -80,7 +84,10 @@ def score_topk(
         .groupBy("qid", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    sort_score = (
+        F.round("score", rank_round) if rank_round is not None else F.col("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(sort_score), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

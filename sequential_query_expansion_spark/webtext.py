@@ -1,0 +1,113 @@
+"""Adapter between the driver's testdata tables and the engine.
+
+The driver generates deterministic parquet at /root/testdata/sf*/:
+``documents(doc_id, text, lang, source, n_chars)`` plays the web-page
+corpus role (the Iceberg ``pages`` table of BASELINE.json at test scale)
+and ``embeddings(vec_id, embedding float[], label)`` backs the
+similarity-search operators.
+
+``WEB_QUERIES`` is the frozen query set for this corpus: deterministic,
+drawn from its 31-term vocabulary, mixing head terms, stopword-ish terms
+('the', 'a'), an OOV term, and multi-term queries — the shapes the
+reference's TREC topic sets exercise (configs/trec7n8/topics.351-400).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.build import IndexTables, build_index_from_docs
+
+# qid -> query text (frozen; bench + driver correctness both use these).
+WEB_QUERIES: Dict[str, str] = {
+    "q01": "spark hash join",
+    "q02": "window agg group",
+    "q03": "fast scan filter column",
+    "q04": "merge sort order",
+    "q05": "stream batch data",
+    "q06": "customer table query",
+    "q07": "big small slow",
+    "q08": "vector value key",
+    "q09": "dup row line",
+    "q10": "the a spark spark",          # stopwords + duplicate term
+    "q11": "zzzunseen scan",             # OOV term mixed with a real one
+    "q12": "part",
+}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(WEB_QUERIES.items()), "qid string, text string"
+    )
+
+
+def query_term_rows(weights_scale: float = 1.0) -> List[tuple]:
+    """(qid, term, weight) rows matching query_term_table(queries_df) —
+    used to inline the query side into oracle SQL VALUES lists."""
+    out = []
+    for qid in sorted(WEB_QUERIES):
+        for term, c in sorted(Counter(WEB_QUERIES[qid].split()).items()):
+            out.append((qid, term, float(c) * weights_scale))
+    return out
+
+
+_INDEX_CACHE: dict = {}
+
+
+def doc_index(spark: SparkSession, sf_dir: str, blocked: bool = False) -> IndexTables:
+    """Build (and memoize per sf_dir) the inverted index over documents.
+
+    The blocked/compressed postings are attached lazily to the SAME cached
+    IndexTables, so flat-join queries and the WAND path share one build.
+    """
+    key = (sf_dir, False, id(spark))
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index_from_docs(
+            load_documents(spark, sf_dir).select("doc_id", "text")
+        )
+    idx = _INDEX_CACHE[key]
+    if blocked and idx.postings is None:
+        from .index.build import build_blocked_postings
+
+        idx.postings = build_blocked_postings(
+            idx.postings_flat, idx.n_docs, idx.avgdl, salt_ranges=8
+        ).persist()
+    return idx
+
+
+def pseudo_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic relevance labels: a doc is relevant (rel=1) to qid iff
+    its token set contains EVERY query term; rel=2 if additionally each
+    query term occurs ≥2 times. Purely derivable → the DuckDB oracle can
+    recompute them, giving the eval metrics a closed-form gold standard."""
+    idx = doc_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in query_term_rows()], "qid string, term string"
+    ).distinct()
+    n_terms = qt.groupBy("qid").agg(F.count("*").alias("n_terms"))
+    hits = (
+        idx.postings_flat.join(qt, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_hit"), F.min("tf").alias("min_tf"))
+    )
+    return (
+        hits.join(n_terms, "qid")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select(
+            "qid",
+            "doc_id",
+            F.when(F.col("min_tf") >= 2, F.lit(2)).otherwise(F.lit(1)).alias("rel"),
+        )
+    )
