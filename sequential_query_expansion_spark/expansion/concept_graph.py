@@ -1,0 +1,344 @@
+"""Feature-based sequential concept-graph query expansion.
+
+Re-creates the reference's wsdm12 pipeline (optParams/wsdm12-improved-
+NThrsh-coordAsc.ipynb) as DataFrame programs:
+
+  probe pass A   — unexpanded top-T feedback docs + scores
+                   (`getRelWords_train` :712-766 / runCommandsinHist_i)
+  candidate gen  — 1-hop graph expansion of query terms (J1, lookup at
+                   conceptNet adjacency cell 6 :277-295) with
+                   edge-multiplicity / mutual-count filter (A1,
+                   `Counter` at umls :153, countLim gate :477/:499),
+                   printable filter (F3 :283/:1038) and original-term
+                   exclusion (F5 :1039)
+  features (A3)  — the 14-feature block of `weightRelConcept` :767-891:
+                   expTDocScore, topTermFrac, numCanDocs, avgCDocScore,
+                   maxCDocScore, conIdf (log(N/df), :815), avgColCor,
+                   maxColCor, avgTopColCor, maxTopColCor, avgColPCor,
+                   maxColPCor, avgTopColPCor, maxTopColPCor — computed
+                   from feedback-doc stats, collection stats and
+                   co-occurrence counts (the `fx`/`efb` probe batches of
+                   occuranceCount.cpp:49-93/:191-208 become two joins)
+  normalize (A4) — per-feature sum-normalization per query
+                   (`normDictOfDicts` :903-958)
+  combine (A5)   — weighted linear combination (`weightedCombineDicts`)
+  select (T1)    — sort desc + greedy top-N (:1027-1043), NaN→0 and
+                   abs like :891
+  layers (R5)    — selected terms become the next layer's source
+                   concepts (dist=2 re-run, cells 25-30); the loop stays
+                   in the driver per SURVEY §7 hard part (iv).
+
+Exact Indri-side count semantics are not reproducible without Indri; the
+feature DEFINITIONS here are fixed, documented, and deterministic, which
+is what the downstream contract (normalize→combine→select) needs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.build import IndexTables
+from ..scoring.bm25 import score_topk
+
+FEATURES: List[str] = [
+    "expTDocScore", "topTermFrac", "numCanDocs", "avgCDocScore",
+    "maxCDocScore", "conIdf", "avgColCor", "maxColCor", "avgTopColCor",
+    "maxTopColCor", "avgColPCor", "maxColPCor", "avgTopColPCor",
+    "maxTopColPCor",
+]
+
+# uniform default weights (the reference trains these by coordinate
+# ascent; see train.py for the ascent harness)
+DEFAULT_WEIGHTS: Dict[str, float] = {f: 1.0 for f in FEATURES}
+
+PRINTABLE_RE = "^[\\x20-\\x7e]+$"
+
+
+def candidate_edges(
+    query_terms: DataFrame,
+    graph_edges: DataFrame,
+    count_lim: int = 0,
+) -> DataFrame:
+    """(qid, src term) × graph -> (qid, orig, cand, n_links).
+
+    n_links = number of distinct query terms linking to the candidate
+    (the reference's mutual-count `l.count(x) > countLim`); candidates
+    already present in the query are excluded (F5)."""
+    qt = query_terms.select("qid", F.col("term").alias("orig")).distinct()
+    edges = graph_edges.select(
+        F.col("src").alias("orig"), F.col("dst").alias("cand")
+    ).filter(F.col("cand").rlike(PRINTABLE_RE))
+    cands = qt.join(F.broadcast(edges), "orig")
+    cands = cands.join(
+        qt.select("qid", F.col("orig").alias("cand")).distinct(),
+        ["qid", "cand"],
+        "left_anti",
+    )
+    w = Window.partitionBy("qid", "cand")
+    return (
+        cands.withColumn("n_links", F.count("*").over(w))
+        .filter(F.col("n_links") > count_lim)
+        .select("qid", "orig", "cand", "n_links")
+        .distinct()
+    )
+
+
+def _pair_cooccurrence(index: IndexTables, pairs: DataFrame) -> DataFrame:
+    """df_both for (orig, cand) term pairs: docs containing both.
+
+    pairs is tiny (queries × edges) → broadcast against the postings of
+    the orig terms; only candidate-term postings shuffle."""
+    p = pairs.select("orig", "cand").distinct()
+    po = index.postings_flat.select(
+        F.col("term").alias("orig"), "doc_id"
+    ).join(F.broadcast(p.select("orig").distinct()), "orig")
+    pc = index.postings_flat.select(
+        F.col("term").alias("cand"), "doc_id"
+    ).join(F.broadcast(p.select("cand").distinct()), "cand")
+    return (
+        po.join(F.broadcast(p), "orig")
+        .join(pc, ["cand", "doc_id"])
+        .groupBy("orig", "cand")
+        .agg(F.count("*").alias("df_both"))
+    )
+
+
+def concept_features(
+    index: IndexTables,
+    query_terms: DataFrame,
+    graph_edges: DataFrame,
+    top_t: int = 10,
+    count_lim: int = 0,
+) -> DataFrame:
+    """-> (qid, cand, <14 feature columns>) per weightRelConcept."""
+    n_docs = float(index.n_docs)
+
+    topdocs = score_topk(index, query_terms, k=top_t).select(
+        "qid", "doc_id", "score"
+    )
+
+    cands = candidate_edges(query_terms, graph_edges, count_lim).persist()
+
+    vocab = index.vocab.select("term", "df")
+    cand_df = cands.select("cand").distinct().join(
+        vocab.withColumnRenamed("term", "cand"), "cand"
+    )
+    orig_df = cands.select("orig").distinct().join(
+        vocab.withColumnRenamed("term", "orig"), "orig"
+    ).withColumnRenamed("df", "df_orig")
+
+    # --- feedback-doc features: candidate postings ∩ topT docs (J4) ----
+    cand_in_top = (
+        index.postings_flat.withColumnRenamed("term", "cand")
+        .join(F.broadcast(cands.select("qid", "cand").distinct()), "cand")
+        .join(F.broadcast(topdocs), ["qid", "doc_id"])
+    )
+    top_dl = topdocs.join(index.doc_len, "doc_id").groupBy("qid").agg(
+        F.sum("dl").alias("top_dl_sum")
+    )
+    fb_feats = (
+        cand_in_top.groupBy("qid", "cand")
+        .agg(
+            F.sum("score").alias("expTDocScore"),
+            F.sum("tf").alias("tf_top"),
+            F.count("*").alias("numCanDocs"),
+            F.avg("score").alias("avgCDocScore"),
+            F.max("score").alias("maxCDocScore"),
+        )
+        .join(F.broadcast(top_dl), "qid")
+        .withColumn("topTermFrac", F.col("tf_top") / F.col("top_dl_sum"))
+        .drop("tf_top", "top_dl_sum")
+    )
+
+    # --- co-occurrence features over collection and top docs -----------
+    df_both = _pair_cooccurrence(index, cands)
+    # co-occurrence restricted to feedback docs
+    qt = query_terms.select("qid", F.col("term").alias("orig")).distinct()
+    orig_in_top = (
+        index.postings_flat.withColumnRenamed("term", "orig")
+        .join(F.broadcast(qt), ["orig"])
+        .join(F.broadcast(topdocs.select("qid", "doc_id")), ["qid", "doc_id"])
+        .select("qid", "orig", "doc_id")
+    )
+    both_top = (
+        cand_in_top.select("qid", "cand", "doc_id")
+        .join(orig_in_top, ["qid", "doc_id"])
+        .groupBy("qid", "orig", "cand")
+        .agg(F.count("*").alias("df_both_top"))
+    )
+
+    pair = (
+        cands.join(F.broadcast(cand_df), "cand")
+        .join(F.broadcast(orig_df), "orig")
+        .join(df_both, ["orig", "cand"], "left")
+        .join(both_top, ["qid", "orig", "cand"], "left")
+        .fillna({"df_both": 0, "df_both_top": 0})
+        .withColumn(
+            "colCor",
+            F.col("df_both") / F.sqrt(F.col("df_orig") * F.col("df")),
+        )
+        .withColumn("topColCor", F.col("df_both_top") / F.lit(float(top_t)))
+        .withColumn(
+            "colPCor",
+            F.abs(
+                F.log(
+                    (F.lit(n_docs) * F.col("df_both") + 0.5)
+                    / (F.col("df_orig") * F.col("df") + 0.5)
+                )
+            ),
+        )
+        .withColumn(
+            "topColPCor",
+            F.abs(
+                F.log(
+                    (F.lit(float(top_t)) * F.col("df_both_top") + 0.5)
+                    / (F.col("df_both") + 0.5)
+                )
+            ),
+        )
+    )
+    cooc = pair.groupBy("qid", "cand").agg(
+        F.avg("colCor").alias("avgColCor"),
+        F.max("colCor").alias("maxColCor"),
+        F.avg("topColCor").alias("avgTopColCor"),
+        F.max("topColCor").alias("maxTopColCor"),
+        F.avg("colPCor").alias("avgColPCor"),
+        F.max("colPCor").alias("maxColPCor"),
+        F.avg("topColPCor").alias("avgTopColPCor"),
+        F.max("topColPCor").alias("maxTopColPCor"),
+    )
+
+    con_idf = cand_df.withColumn(
+        "conIdf", F.log(F.lit(n_docs) / F.col("df"))
+    ).select("cand", "conIdf")
+
+    out = (
+        cands.select("qid", "cand")
+        .distinct()
+        .join(fb_feats, ["qid", "cand"], "left")
+        .join(cooc, ["qid", "cand"], "left")
+        .join(F.broadcast(con_idf), "cand", "left")
+    )
+    # NaN→0 + abs, the reference's final cleanup (:891)
+    for f in FEATURES:
+        out = out.withColumn(
+            f, F.abs(F.coalesce(F.nanvl(F.col(f), F.lit(0.0)), F.lit(0.0)))
+        )
+    return out
+
+
+def normalize_and_combine(
+    features: DataFrame, weights: Dict[str, float] | None = None
+) -> DataFrame:
+    """A4 sum-normalization per qid + A5 weighted combination ->
+    (qid, cand, weight)."""
+    weights = weights or DEFAULT_WEIGHTS
+    w = Window.partitionBy("qid")
+    score = F.lit(0.0)
+    df = features
+    for f in FEATURES:
+        tot = F.sum(f).over(w)
+        norm = F.when(tot > 0, F.col(f) / tot).otherwise(0.0)
+        score = score + F.lit(float(weights.get(f, 0.0))) * norm
+    return df.withColumn("weight", score).select("qid", "cand", "weight")
+
+
+def select_expansion_terms(
+    weighted: DataFrame, n_terms: int = 20, threshold: float | None = None
+) -> DataFrame:
+    """T1: rank desc (weight, cand asc tie-break) and keep top-N, or the
+    probability-threshold variant (wsdm12-improved-probThrsh)."""
+    if threshold is not None:
+        return weighted.filter(F.col("weight") >= threshold)
+    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("cand"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_terms)
+        .drop("rn")
+    )
+
+
+def sequential_expand(
+    index: IndexTables,
+    query_terms: DataFrame,
+    graph_edges: DataFrame,
+    layers: int = 2,
+    per_layer_terms: tuple = (20, 2),
+    layer_weights: tuple = (0.3, 0.05),
+    top_t: int = 10,
+    count_lim: int = 0,
+    feature_weights: Dict[str, float] | None = None,
+) -> DataFrame:
+    """R5 layered expansion: layer ℓ candidates come from layer ℓ-1's
+    selected terms (dist grows per layer). Returns
+    (qid, term, weight, layer) with layer 0 = original query terms
+    (weight = multiplicity), layers ≥ 1 scaled by ``layer_weights``.
+    """
+    out = query_terms.select(
+        "qid", "term", F.col("weight").cast("double").alias("weight"),
+        F.lit(0).alias("layer"),
+    )
+    sources = query_terms.select("qid", "term", "weight")
+    for ell in range(1, layers + 1):
+        feats = concept_features(
+            index, sources, graph_edges, top_t=top_t, count_lim=count_lim
+        )
+        weighted = normalize_and_combine(feats, feature_weights)
+        sel = select_expansion_terms(weighted, n_terms=per_layer_terms[ell - 1])
+        # exclude anything already selected in ANY earlier layer
+        sel = sel.join(
+            out.select("qid", F.col("term").alias("cand")), ["qid", "cand"],
+            "left_anti",
+        )
+        lw = float(layer_weights[ell - 1])
+        out = out.unionByName(
+            sel.select(
+                "qid",
+                F.col("cand").alias("term"),
+                (F.lit(lw) * F.col("weight")).alias("weight"),
+                F.lit(ell).alias("layer"),
+            )
+        )
+        sources = sel.select(
+            "qid", F.col("cand").alias("term"), F.lit(1.0).alias("weight")
+        )
+    return out
+
+
+def expanded_topk(
+    index: IndexTables,
+    query_terms: DataFrame,
+    graph_edges: DataFrame,
+    k: int = 1000,
+    orig_weight: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """R2 `#weight(w orig (1-w) expansion)` final run over the layered
+    expansion (the reference's genQueries + precisionCompute stage)."""
+    exp = sequential_expand(index, query_terms, graph_edges, **kwargs)
+    w_tot = Window.partitionBy("qid")
+    orig = exp.filter(F.col("layer") == 0)
+    rest = exp.filter(F.col("layer") > 0)
+    mixed = (
+        orig.withColumn(
+            "weight",
+            F.lit(orig_weight) * F.col("weight") / F.sum("weight").over(w_tot),
+        )
+        .unionByName(
+            rest.withColumn(
+                "weight",
+                F.when(
+                    F.sum("weight").over(w_tot) > 0,
+                    F.lit(1.0 - orig_weight)
+                    * F.col("weight")
+                    / F.sum("weight").over(w_tot),
+                ).otherwise(0.0),
+            )
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return score_topk(index, mixed, k=k)

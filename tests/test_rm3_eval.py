@@ -1,0 +1,125 @@
+"""RM3 expansion + eval metrics: Spark vs the pure-Python oracle.
+
+The north_rule requires rank-identical top-k docIDs and BM25 scores on
+both unexpanded and EXPANDED runs — this is the expanded half.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sequential_query_expansion_spark import oracle
+from sequential_query_expansion_spark.evalmetrics import evaluate
+from sequential_query_expansion_spark.expansion.rm3 import rm3_expand_df, rm3_topk
+from sequential_query_expansion_spark.scoring.bm25 import (
+    query_term_table,
+    score_topk,
+)
+
+FB_DOCS, FB_TERMS, ORIG_W = 10, 15, 0.6
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, tiny_corpus):
+    return spark.createDataFrame(tiny_corpus.queries)
+
+
+@pytest.fixture(scope="module")
+def url_to_doc(index_tables):
+    return {
+        r["url"]: r["doc_id"] for r in index_tables.docmap.collect()
+    }
+
+
+def test_rm3_weights_match_oracle(spark, index_tables, oracle_index,
+                                  tiny_corpus, queries_df):
+    got = (
+        rm3_expand_df(
+            index_tables,
+            query_term_table(queries_df),
+            fb_docs=FB_DOCS,
+            fb_terms=FB_TERMS,
+            orig_weight=ORIG_W,
+        )
+        .toPandas()
+        .set_index(["qid", "term"])["weight"]
+        .to_dict()
+    )
+    for _, row in tiny_corpus.queries.iterrows():
+        qid, terms = row["qid"], row["text"].split()
+        want = oracle.rm3_expand(
+            oracle_index, terms, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+            orig_weight=ORIG_W,
+        )
+        got_q = {t: w for (q, t), w in got.items() if q == qid}
+        assert set(got_q) == set(want), f"{qid}: term sets differ"
+        for t, w in want.items():
+            assert got_q[t] == pytest.approx(w, abs=1e-9), (qid, t)
+
+
+def test_expanded_topk_rank_identical(spark, index_tables, oracle_index,
+                                      tiny_corpus, queries_df):
+    got = (
+        rm3_topk(
+            index_tables,
+            query_term_table(queries_df),
+            k=20,
+            fb_docs=FB_DOCS,
+            fb_terms=FB_TERMS,
+            orig_weight=ORIG_W,
+        )
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    for _, row in tiny_corpus.queries.iterrows():
+        qid, terms = row["qid"], row["text"].split()
+        weights = oracle.rm3_expand(
+            oracle_index, terms, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+            orig_weight=ORIG_W,
+        )
+        want = oracle.bm25_topk(
+            oracle_index, list(weights), k=20, weights=weights
+        )
+        sub = got[got.qid == qid]
+        assert list(sub.doc_id) == [d for d, _ in want], qid
+        assert np.allclose(sub.score, [s for _, s in want], atol=1e-9), qid
+
+
+def test_eval_metrics_match_oracle(spark, index_tables, oracle_index,
+                                   tiny_corpus, queries_df, url_to_doc):
+    k = 50
+    run = score_topk(index_tables, query_term_table(queries_df), k=k)
+    qrels_pdf = tiny_corpus.qrels.assign(
+        doc_id=lambda d: d.url.map(url_to_doc)
+    )[["qid", "doc_id", "rel"]]
+    qrels = spark.createDataFrame(qrels_pdf)
+    got = (
+        evaluate(run.select("qid", "doc_id", "rank", "score"), qrels)
+        .toPandas()
+        .set_index(["metric", "qid"])["value"]
+        .to_dict()
+    )
+
+    per_q_map = []
+    for _, row in tiny_corpus.queries.iterrows():
+        qid, terms = row["qid"], row["text"].split()
+        ranked = [d for d, _ in oracle.bm25_topk(oracle_index, terms, k=k)]
+        grades = dict(
+            zip(qrels_pdf[qrels_pdf.qid == qid].doc_id,
+                qrels_pdf[qrels_pdf.qid == qid].rel)
+        )
+        rel = {d for d, g in grades.items() if g > 0}
+        ap = oracle.average_precision(ranked, rel)
+        p10 = oracle.precision_at(ranked, rel, 10)
+        ndcg = oracle.ndcg_at(ranked, grades, 10)
+        rr = oracle.reciprocal_rank(ranked, rel)
+        per_q_map.append(ap)
+        assert got[("map", qid)] == pytest.approx(ap, abs=1e-9), qid
+        assert got[("P_10", qid)] == pytest.approx(p10, abs=1e-9), qid
+        assert got[("ndcg_cut_10", qid)] == pytest.approx(ndcg, abs=1e-9), qid
+        assert got[("recip_rank", qid)] == pytest.approx(rr, abs=1e-9), qid
+    assert got[("map", "all")] == pytest.approx(
+        float(np.mean(per_q_map)), abs=1e-9
+    )
