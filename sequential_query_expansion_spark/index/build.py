@@ -19,9 +19,10 @@ Scale notes (the 100 TB design):
 - doc ids are partition-contiguous after a range-partition on url: one
   range exchange, then a per-partition window — never a single-partition
   global window. Contiguity keeps docID deltas small (tight varints).
-- tf is computed INSIDE the row (Arrow-batched term_frequencies), so the
-  only full-data shuffle in the whole build is the one unavoidable
-  exchange from doc-major to term-major.
+- tf via explode + hash-agg with MAP-SIDE partial aggregation: duplicate
+  (doc, term) pairs collapse before the exchange, so the doc-major →
+  term-major shuffle moves postings-sized rows, entirely in codegen
+  (zero Python anywhere in the build).
 - that exchange is salted by doc-range (`ceil(doc_id / range)`): a
   stopword with df = 60% of docs lands in S bounded groups instead of one
   giant one (north_rule's "salted repartition-by-term"). Because salt is
@@ -41,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import stem_tokens, term_frequencies, tokenize_col
+from ..functions.text import explode_term_frequencies, stem_tokens, tokenize_col
 from .codec import encode_block
 
 BLOCK_SIZE = 128
@@ -119,16 +120,7 @@ def build_index(
 
     doc_len = doc_terms.select("doc_id", F.size("tokens").alias("dl"))
 
-    # in-row tf (Arrow) -> single shuffle to term-major
-    postings_flat = (
-        doc_terms.select(
-            "doc_id",
-            F.size("tokens").alias("dl"),
-            F.explode(term_frequencies("tokens")).alias("tt"),
-        )
-        .select(F.col("tt.term").alias("term"), "doc_id", F.col("tt.tf").alias("tf"), "dl")
-        .persist()
-    )
+    postings_flat = explode_term_frequencies(doc_terms).persist()
 
     vocab = postings_flat.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -169,6 +161,9 @@ def build_index_from_docs(
     ``documents`` testdata table); skips the global url-ranking exchange
     entirely — one less shuffle than :func:`build_index`.
     """
+    from ..util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     docmap = docs.select("doc_id", F.col("doc_id").cast("string").alias("url"))
 
     doc_terms = docs.select("doc_id", tokenize_col(F.col("text")).alias("tokens"))
@@ -178,15 +173,7 @@ def build_index_from_docs(
 
     doc_len = doc_terms.select("doc_id", F.size("tokens").alias("dl"))
 
-    postings_flat = (
-        doc_terms.select(
-            "doc_id",
-            F.size("tokens").alias("dl"),
-            F.explode(term_frequencies("tokens")).alias("tt"),
-        )
-        .select(F.col("tt.term").alias("term"), "doc_id", F.col("tt.tf").alias("tf"), "dl")
-        .persist()
-    )
+    postings_flat = explode_term_frequencies(doc_terms).persist()
 
     vocab = postings_flat.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")

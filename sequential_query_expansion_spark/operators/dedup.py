@@ -8,9 +8,10 @@ Scale notes (the 100 TB story):
   The production path is MinHash+LSH: candidate generation shuffles only
   (band_id, band_hash, doc_id) triples and the quadratic blowup is capped
   per bucket; the exact-Jaccard verify then runs ONLY on candidates.
-- signatures are computed in one Arrow-batched pandas UDF pass (numpy
-  (a*h+b) mod p over a per-shingle 64-bit base hash), no per-row Python
-  in the hot loop beyond the shingle digest.
+- signatures are computed in one Arrow-batched mapInPandas pass: per-
+  shingle 64-bit blake2b base hash, then a splitmix64-mixed permutation
+  family evaluated chunked/in-place (cache-resident), per-row minima via
+  minimum.reduceat — no per-row Python beyond the digest loop.
 
 Reference analogue: the reference dedups probe expressions via std::set /
 dict guards (occuranceCount.cpp:59-65, notebook cell 13) — document-level
@@ -28,10 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import tokenize_col
+from ..util import ensure_parallelism
 from .text_analysis import fingerprint
 
 # MinHash parameters (fixed so signatures are comparable across runs).
-MERSENNE_P = (1 << 61) - 1
 DEFAULT_NUM_HASHES = 128
 DEFAULT_BANDS = 32
 
@@ -96,8 +97,17 @@ def jaccard_pairs(
     path); otherwise all co-shingled pairs are considered (oracle path).
     """
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    probe = shingles
+    if candidates is not None:
+        # scale path: the self-join only ever sees candidate docs
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        probe = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    a = probe.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = probe.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -131,6 +141,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (oracle-sized)."""
+    docs = ensure_parallelism(docs)
     return jaccard_pairs(shingle_sets(docs, id_col, text_col, n), threshold)
 
 
@@ -138,11 +149,25 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _hash_params(num_hashes: int, seed: int = 42):
+def _hash_seeds(num_hashes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64).astype(object)
-    return a, b
+    return rng.integers(0, 1 << 64, size=num_hashes, dtype=np.uint64)
+
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mix, native uint64
+    (multiplication wraps mod 2^64 by construction). A plain
+    (a·h+b) mod p family is NOT usable here: with p >> max(h) it barely
+    wraps, stays near-monotonic in h, and the per-function minimum is
+    then dominated by the globally smallest base hash — which destroys
+    the P(min_a == min_b) = Jaccard property MinHash relies on."""
+    v = (v ^ (v >> np.uint64(30))) * _M1
+    v = (v ^ (v >> np.uint64(27))) * _M2
+    return v ^ (v >> np.uint64(31))
 
 
 def _base_hash(shingle: str) -> int:
@@ -150,6 +175,36 @@ def _base_hash(shingle: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(shingle.encode(), digest_size=8).digest(), "big"
     )
+
+
+def _minhash_mins(base: np.ndarray, seeds: np.ndarray,
+                  offsets: np.ndarray, chunk: int = 16) -> np.ndarray:
+    """Per-row-segment minima of mix64(base ^ seed) -> (n_rows, H).
+
+    Chunked over hash functions with preallocated buffers and in-place
+    ops: the naive (H, N) broadcast allocates ~8 full-size temporaries
+    per op and becomes memory-bandwidth-bound when 32 workers run it
+    concurrently; a (chunk, N) working set stays in cache. Bit-identical
+    to _mix64 (regression-tested)."""
+    h_all, n = len(seeds), len(base)
+    out = np.empty((len(offsets), h_all), dtype=np.int64)
+    tmp = np.empty((chunk, n), dtype=np.uint64)
+    sh = np.empty_like(tmp)
+    s30, s27, s31 = np.uint64(30), np.uint64(27), np.uint64(31)
+    for h0 in range(0, h_all, chunk):
+        h1 = min(h0 + chunk, h_all)
+        t, s = tmp[: h1 - h0], sh[: h1 - h0]
+        np.bitwise_xor(base[None, :], seeds[h0:h1, None], out=t)
+        np.right_shift(t, s30, out=s)
+        np.bitwise_xor(t, s, out=t)
+        np.multiply(t, _M1, out=t)
+        np.right_shift(t, s27, out=s)
+        np.bitwise_xor(t, s, out=t)
+        np.multiply(t, _M2, out=t)
+        np.right_shift(t, s31, out=s)
+        np.bitwise_xor(t, s, out=t)
+        out[:, h0:h1] = np.minimum.reduceat(t, offsets, axis=1).T.astype(np.int64)
+    return out
 
 
 def minhash_signatures(
@@ -165,29 +220,39 @@ def minhash_signatures(
     Docs with no shingles (fewer than n tokens) are dropped (they cannot
     collide meaningfully).
     """
-    a, b = _hash_params(num_hashes, seed)
+    seeds = _hash_seeds(num_hashes, seed)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(shingle_arrays: pd.Series) -> pd.Series:
-        def one(shingles):
-            if shingles is None or len(shingles) == 0:
-                return None
-            base = np.array(
-                [_base_hash(s) for s in shingles], dtype=object
+    # mapInPandas, not a scalar pandas_udf: chaining select(udf) with a
+    # filter on the udf output makes Catalyst re-evaluate the (expensive)
+    # JVM shingle expression several times — one explicit pass computes
+    # shingles→signatures once and drops empty rows inside the kernel.
+    def sig_fn(batches):
+        for pdf in batches:
+            arrs = pdf["sh"]
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in arrs),
+                dtype=np.int64,
+                count=len(arrs),
             )
-            # (a * h + b) mod p, broadcast (num_hashes, n_shingles)
-            vals = (a[:, None] * base[None, :] + b[:, None]) % MERSENNE_P
-            return [int(v) for v in vals.min(axis=1)]
+            nz = lens > 0
+            if not nz.any():
+                continue
+            flat = [s for a in arrs if a is not None for s in a]
+            # batch-vectorized: hash every shingle in the batch once,
+            # then per-row minima via minimum.reduceat
+            base = np.fromiter(
+                (_base_hash(s) for s in flat), dtype=np.uint64, count=len(flat)
+            )
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            mins = _minhash_mins(base, seeds, offsets)  # (n_nonempty, H)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values[nz], "sig": list(mins)}
+            )
 
-        return shingle_arrays.map(one)
-
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"), _shingle_col(text_col, n).alias("sh")
-        )
-        .select("doc_id", sig_udf("sh").alias("sig"))
-        .filter(F.col("sig").isNotNull())
-    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, n).alias("sh")
+    ).mapInPandas(sig_fn, schema="doc_id long, sig array<long>")
 
 
 def lsh_candidates(
@@ -258,11 +323,13 @@ def minhash_lsh_dedup(
     is ≈1, so the verified output matches exact ``ngram_jaccard_pairs``
     while scaling linearly in corpus size.
     """
+    docs = ensure_parallelism(docs)
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
-    cands = lsh_candidates(sigs, bands)
-    return jaccard_pairs(
-        shingle_sets(docs, id_col, text_col, n), threshold, candidates=cands
-    )
+    # candidates and shingles are each consumed twice downstream —
+    # persist so the signature/shingle pipelines run exactly once
+    cands = lsh_candidates(sigs, bands).persist()
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    return jaccard_pairs(sh, threshold, candidates=cands)
 
 
 # ---------------------------------------------------------------------------

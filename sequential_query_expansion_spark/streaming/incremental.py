@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import term_frequencies, tokenize_col
+from ..functions.text import explode_term_frequencies, tokenize_col
 from ..index.build import IndexTables, build_blocked_postings
 
 
@@ -34,13 +34,7 @@ def _segment_transform(batch: DataFrame) -> DataFrame:
     """docs(doc_id, text) -> (term, doc_id, tf, dl) for one micro-batch —
     the same single-exchange shape as the batch build."""
     toks = batch.select("doc_id", tokenize_col(F.col("text")).alias("tokens"))
-    return toks.select(
-        "doc_id",
-        F.size("tokens").alias("dl"),
-        F.explode(term_frequencies("tokens")).alias("tt"),
-    ).select(
-        F.col("tt.term").alias("term"), "doc_id", F.col("tt.tf").alias("tf"), "dl"
-    )
+    return explode_term_frequencies(toks)
 
 
 def start_incremental_build(

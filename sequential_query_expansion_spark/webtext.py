@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index.build import IndexTables, build_index_from_docs
+from .util import ensure_parallelism
 
 # qid -> query text (frozen; bench + driver correctness both use these).
 WEB_QUERIES: Dict[str, str] = {
@@ -40,11 +41,15 @@ WEB_QUERIES: Dict[str, str] = {
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
