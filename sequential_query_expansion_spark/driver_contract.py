@@ -348,6 +348,105 @@ def q_cooccur_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WORKING_SET_MAX_DOC = 50
+OD_PAIRS = [("hash", "join"), ("group", "agg"), ("sort", "order")]
+OD_WINDOW = 4
+FETCH_IDS = [1, 10, 17, 23]
+
+
+def q_working_set_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 `<workingSetDocno>` analogue: score only a given doc set."""
+    from .scoring.bm25 import score_topk_working_set
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    ws = spark.range(WORKING_SET_MAX_DOC).select(F.col("id").alias("doc_id"))
+    out = score_topk_working_set(idx, qt, ws, k=5, rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
+def q_od_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 `#odN(a b)` ordered-window counts over the corpus."""
+    from .functions.positional import bigram_od_count_col
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", F.expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' '),"
+            " t -> t != '')"
+        ).alias("toks")
+    )
+    parts = []
+    for a, b in OD_PAIRS:
+        cnt = bigram_od_count_col(F.col("toks"), a, b, OD_WINDOW)
+        agg = docs.select(cnt.alias("c")).agg(
+            F.sum((F.col("c") > 0).cast("long")).alias("n_docs"),
+            F.sum("c").cast("long").alias("total_matches"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(a).alias("a"), F.lit(b).alias("b"),
+                "n_docs", "total_matches",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 point lookups (dt/dd by id)."""
+    return load_documents(spark, sf_dir).filter(
+        F.col("doc_id").isin(FETCH_IDS)
+    ).select("doc_id", "text", "lang", "source")
+
+
+def q_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    toks = F.expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' '),"
+        " t -> t != '')"
+    )
+    return docs.select("source", "lang", F.size(toks).alias("n_tok")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 bigram generation + frequency table (bigrams with count ≥ 50)."""
+    from .functions.text import bigrams_col, tokenize_col
+
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(F.explode(bigrams_col(tokenize_col(F.col("text")))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data filter pipeline: quality gates + near-dup removal
+    (keep the smaller doc_id of each pair) -> surviving doc ids."""
+    docs = load_documents(spark, sf_dir)
+    q = text_analysis.quality_score(docs).filter(F.col("keep")).select("doc_id")
+    dups = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return q.join(dups, "doc_id", "left_anti").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
@@ -547,13 +646,15 @@ perhit AS (
            OVER (PARTITION BY qid ORDER BY rank) AS hits
   FROM j),
 aggq AS (
-  SELECT qid,
+  SELECT p.qid,
          sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec,
          min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
          sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0 END) AS hits_at_p,
          sum(CASE WHEN rel > 0 AND rank <= 10
-                  THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg
-  FROM perhit GROUP BY qid),
+                  THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg,
+         sum(CASE WHEN rel > 0 AND rank <= n.n_rel THEN 1 ELSE 0 END) AS rprec_hits,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret
+  FROM perhit p LEFT JOIN nrel n USING (qid) GROUP BY p.qid),
 ideal AS (
   SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
   FROM (SELECT qid, rel,
@@ -568,7 +669,15 @@ perq AS (
          CASE WHEN i.idcg > 0
               THEN coalesce(a.dcg, 0) / i.idcg ELSE 0.0 END AS ndcg_cut_10,
          CASE WHEN a.first_rel IS NOT NULL
-              THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank
+              THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank,
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.rprec_hits, 0)::DOUBLE / n.n_rel
+              ELSE 0.0 END AS rprec,
+         -- pseudo-qrels carry no judged-nonrelevant docs, so every
+         -- retrieved relevant contributes 1 (trec_eval N=0 behavior)
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.rel_ret, 0)::DOUBLE / n.n_rel
+              ELSE 0.0 END AS bpref
   FROM (SELECT DISTINCT qid FROM run) q
   LEFT JOIN aggq a USING (qid)
   LEFT JOIN nrel n USING (qid)
@@ -577,7 +686,9 @@ longf AS (
   SELECT 'map' AS metric, qid, map AS value FROM perq
   UNION ALL SELECT 'P_10', qid, "P_10" FROM perq
   UNION ALL SELECT 'ndcg_cut_10', qid, ndcg_cut_10 FROM perq
-  UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq)
+  UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq
+  UNION ALL SELECT 'Rprec', qid, rprec FROM perq
+  UNION ALL SELECT 'bpref', qid, bpref FROM perq)
 SELECT metric, qid, round(value, 6) AS value FROM longf
 UNION ALL
 SELECT metric, 'all' AS qid, round(avg(value), 6) AS value
@@ -602,6 +713,87 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY n_docs DESC, cand) AS rank
   FROM filtered)
 SELECT qid, cand, n_docs, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+    sql["working_set_rescore"] = f"""
+WITH {_BASE},
+{_qterms_cte()},
+scored_ws AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id < {WORKING_SET_MAX_DOC}
+  GROUP BY q.qid, tf.doc_id
+),
+topk_ws AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scored_ws)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM topk_ws WHERE rank <= 5
+"""
+
+    od_parts = []
+    for a, b in OD_PAIRS:
+        od_parts.append(f"""
+SELECT '{a}' AS a, '{b}' AS b,
+       sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(c)::BIGINT AS total_matches
+FROM (
+  SELECT len(list_filter(generate_series(1, len(toks)),
+             i -> toks[i] = '{a}'
+                  AND list_contains(toks[i+1:i+{OD_WINDOW}], '{b}')))::BIGINT AS c
+  FROM doctoks)
+""")
+    sql["od_bigram_counts"] = (
+        f"WITH {_BASE}\n" + "\nUNION ALL\n".join(od_parts)
+    )
+
+    fetch_list = ", ".join(str(i) for i in FETCH_IDS)
+    sql["doc_fetch"] = f"""
+SELECT doc_id, text, lang, source FROM documents WHERE doc_id IN ({fetch_list})
+"""
+
+    sql["stats_by_source"] = f"""
+WITH {_BASE}
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       round(avg(len(t.toks)), 6) AS avg_tokens,
+       count(DISTINCT d.lang)::BIGINT AS n_langs
+FROM documents d JOIN doctoks t USING (doc_id)
+GROUP BY d.source
+"""
+
+    sql["bigram_stats"] = f"""
+WITH {_BASE}
+SELECT bigram, count(*)::BIGINT AS n FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM doctoks WHERE len(toks) >= 2)
+GROUP BY bigram HAVING count(*) >= 50
+"""
+
+    sql["quality_pipeline"] = f"""
+WITH {_BASE},
+{_SHINGLES},
+q AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> list_contains(['{_SW}'], t)))::DOUBLE / len(toks)
+                ELSE 0.0 END AS stopword_ratio
+    FROM doctoks)
+  WHERE n_tokens >= 10 AND stopword_ratio <= 0.5),
+dupped AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jaccard >= 0.8)
+SELECT q.doc_id::BIGINT AS doc_id FROM q
+LEFT JOIN dupped d ON d.doc_id = q.doc_id WHERE d.doc_id IS NULL
 """
 
     probe_list = ", ".join(str(p) for p in PROBE_IDS)
@@ -642,6 +834,12 @@ SPARK_QUERIES = {
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "eval_metrics": q_eval_metrics,
     "cooccur_expand": q_cooccur_expand,
+    "working_set_rescore": q_working_set_rescore,
+    "od_bigram_counts": q_od_bigram_counts,
+    "doc_fetch": q_doc_fetch,
+    "stats_by_source": q_stats_by_source,
+    "bigram_stats": q_bigram_stats,
+    "quality_pipeline": q_quality_pipeline,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,    # rows-only (approximate)
 }

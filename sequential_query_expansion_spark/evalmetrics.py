@@ -21,25 +21,51 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
              ndcg_at: int = 10) -> DataFrame:
     """-> (metric string, qid string, value double), including 'all' rows.
 
-    Metrics: map, P_{p_at}, ndcg_cut_{ndcg_at}, recip_rank — the subset
-    the reference actually consumes (map at ipynb:31480-31496, P_10 /
-    infNDCG in BASELINE.md).
+    Metrics: map, P_{p_at}, ndcg_cut_{ndcg_at}, recip_rank, Rprec, bpref
+    — the set the reference's eval files carry (map at ipynb:31480-31496,
+    P_10 / infNDCG / Rprec / bpref rows in evals/dir/*/indriRunQuery.evals).
+
+    ``qrels`` may contain judged-nonrelevant rows (rel = 0); they feed
+    bpref. Unjudged retrieved docs count as nonrelevant for precision
+    metrics and are ignored by bpref, exactly like trec_eval.
     """
-    j = results.join(
-        qrels.select("qid", "doc_id", "rel"), ["qid", "doc_id"], "left"
-    ).withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    j = (
+        results.join(
+            qrels.select("qid", "doc_id", F.col("rel").alias("rel_raw")),
+            ["qid", "doc_id"],
+            "left",
+        )
+        .withColumn("judged", F.col("rel_raw").isNotNull())
+        .withColumn("rel", F.coalesce(F.col("rel_raw"), F.lit(0)))
+    )
 
     n_rel = qrels.filter(F.col("rel") > 0).groupBy("qid").agg(
         F.count("*").alias("n_rel")
     )
+    n_nonrel = qrels.filter(F.col("rel") <= 0).groupBy("qid").agg(
+        F.count("*").alias("n_nonrel")
+    )
 
     w_rank = Window.partitionBy("qid").orderBy("rank")
+    w_above = w_rank.rowsBetween(Window.unboundedPreceding, -1)
 
-    per_hit = j.withColumn(
-        "hits", F.sum((F.col("rel") > 0).cast("int")).over(w_rank)
-    ).withColumn(
-        "prec_at_rank",
-        F.when(F.col("rel") > 0, F.col("hits").cast("double") / F.col("rank")),
+    per_hit = (
+        j.withColumn(
+            "hits", F.sum((F.col("rel") > 0).cast("int")).over(w_rank)
+        )
+        .withColumn(
+            "prec_at_rank",
+            F.when(F.col("rel") > 0, F.col("hits").cast("double") / F.col("rank")),
+        )
+        .withColumn(
+            "nonrel_above",
+            F.coalesce(
+                F.sum(
+                    (F.col("judged") & (F.col("rel") <= 0)).cast("int")
+                ).over(w_above),
+                F.lit(0),
+            ),
+        )
     )
 
     ap = (
@@ -57,9 +83,34 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
                     / F.log2(F.col("rank") + 1.0),
                 )
             ).alias("dcg"),
+            F.collect_list(
+                F.when(F.col("rel") > 0, F.struct("rank", "nonrel_above"))
+            ).alias("rel_hits"),
         )
         .join(n_rel, "qid", "left")
+        .join(n_nonrel, "qid", "left")
         .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0)))
+        .withColumn("n_nonrel", F.coalesce(F.col("n_nonrel"), F.lit(0)))
+        # Rprec: hits within rank ≤ R, over R
+        .withColumn(
+            "rprec_hits",
+            F.size(F.filter("rel_hits", lambda h: h["rank"] <= F.col("n_rel"))),
+        )
+        # bpref: Σ over retrieved relevant of
+        #   1 - min(nonrel_above, R) / min(R, N), contribution 1 when N=0
+        .withColumn(
+            "bpref_sum",
+            F.aggregate(
+                "rel_hits",
+                F.lit(0.0),
+                lambda acc, h: acc
+                + F.when(F.col("n_nonrel") > 0,
+                         1.0
+                         - F.least(h["nonrel_above"], F.col("n_rel")).cast("double")
+                         / F.least(F.col("n_rel"), F.col("n_nonrel")))
+                .otherwise(F.lit(1.0)),
+            ),
+        )
     )
 
     # ideal DCG from qrels grades (top ndcg_at grades per qid, descending)
@@ -97,10 +148,22 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
             F.when(F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel"))
             .otherwise(0.0)
             .alias("recip_rank"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("rprec_hits").cast("double") / F.col("n_rel"),
+            )
+            .otherwise(0.0)
+            .alias("Rprec"),
+            F.when(
+                F.col("n_rel") > 0, F.col("bpref_sum") / F.col("n_rel")
+            )
+            .otherwise(0.0)
+            .alias("bpref"),
         )
     )
 
-    metrics = ["map", f"P_{p_at}", f"ndcg_cut_{ndcg_at}", "recip_rank"]
+    metrics = ["map", f"P_{p_at}", f"ndcg_cut_{ndcg_at}", "recip_rank",
+               "Rprec", "bpref"]
     long = per_q.selectExpr(
         "qid",
         "stack({n}, {args}) as (metric, value)".format(

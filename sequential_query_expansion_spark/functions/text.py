@@ -172,6 +172,17 @@ def term_frequencies_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(counts)
 
 
+def bigrams_col(tokens) -> Column:
+    """X6: adjacent-token bigram strings (reference builds them for
+    `#od4` clauses at umls/umlsSeqPubMed.ipynb:584-589:
+    ``concStrs1 = [w_i + " " + w_{i+1}]``). zip_with against the shifted
+    array so the token expression is evaluated once per row."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    shifted = F.slice(c, 2, F.greatest(F.size(c), F.lit(1)))
+    pairs = F.zip_with(c, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(pairs, lambda g: g.isNotNull())
+
+
 def explode_term_frequencies(doc_terms, id_col: str = "doc_id",
                              tokens_col: str = "tokens"):
     """(doc_id, tokens) -> (term, doc_id, tf, dl), zero Python.

@@ -40,17 +40,26 @@ DEFAULT_BANDS = 32
 def _shingle_col(text_col, n: int):
     """Distinct token n-gram strings (space-joined) as an array column.
 
-    Built-ins only: slide an index array over the token array.
+    Built as a chain of n-1 zip_withs against shifted copies of the
+    token array. Every token-array reference is a CHILD of a zip_with /
+    slice — evaluated once per row — unlike an index-transform
+    formulation (`transform(sequence(...), i -> slice(toks, i+1, n))`),
+    whose lambda body re-evaluates the tokenizer per element (no CSE
+    inside higher-order lambdas → O(len²) per row).
+
+    The trailing n-1 positions pair with null from the shorter shifted
+    array; F.concat propagates the null and a final filter drops them.
     """
     toks = tokenize_col(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = toks
+    for shift in range(1, n):
+        shifted = F.slice(
+            toks, shift + 1, F.greatest(F.size(toks), F.lit(1))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -224,20 +233,28 @@ def minhash_signatures(
 
     # mapInPandas, not a scalar pandas_udf: chaining select(udf) with a
     # filter on the udf output makes Catalyst re-evaluate the (expensive)
-    # JVM shingle expression several times — one explicit pass computes
+    # input expression several times — one explicit pass computes
     # shingles→signatures once and drops empty rows inside the kernel.
+    # Shingling happens HERE (cheap python string joins in the same batch
+    # loop) so the Arrow transfer carries tokens once, not 8× duplicated
+    # shingle strings.
     def sig_fn(batches):
+        join = " ".join
         for pdf in batches:
-            arrs = pdf["sh"]
+            shingle_sets_b = [
+                list(dict.fromkeys(
+                    join(t[i:i + n]) for i in range(len(t) - n + 1)
+                )) if t is not None and len(t) >= n else []
+                for t in pdf["tokens"]
+            ]
             lens = np.fromiter(
-                (0 if a is None else len(a) for a in arrs),
-                dtype=np.int64,
-                count=len(arrs),
+                (len(a) for a in shingle_sets_b), dtype=np.int64,
+                count=len(shingle_sets_b),
             )
             nz = lens > 0
             if not nz.any():
                 continue
-            flat = [s for a in arrs if a is not None for s in a]
+            flat = [s for a in shingle_sets_b for s in a]
             # batch-vectorized: hash every shingle in the batch once,
             # then per-row minima via minimum.reduceat
             base = np.fromiter(
@@ -251,7 +268,8 @@ def minhash_signatures(
             )
 
     return docs.select(
-        F.col(id_col).alias("doc_id"), _shingle_col(text_col, n).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("tokens"),
     ).mapInPandas(sig_fn, schema="doc_id long, sig array<long>")
 
 

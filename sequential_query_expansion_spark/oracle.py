@@ -188,3 +188,30 @@ def reciprocal_rank(ranked_docs: Sequence[int], rel: set) -> float:
         if d in rel:
             return 1.0 / i
     return 0.0
+
+
+def r_precision(ranked_docs: Sequence[int], rel: set) -> float:
+    if not rel:
+        return 0.0
+    r = len(rel)
+    return sum(1 for d in ranked_docs[:r] if d in rel) / r
+
+
+def bpref(ranked_docs: Sequence[int], rel: set, nonrel: set) -> float:
+    """trec_eval bpref: judged-nonrelevant docs ranked above each
+    retrieved relevant doc penalize it; contribution 1 when there are no
+    judged nonrelevant."""
+    if not rel:
+        return 0.0
+    r, n = len(rel), len(nonrel)
+    s = 0.0
+    nonrel_above = 0
+    for d in ranked_docs:
+        if d in nonrel:
+            nonrel_above += 1
+        elif d in rel:
+            if n > 0:
+                s += 1.0 - min(nonrel_above, r) / min(r, n)
+            else:
+                s += 1.0
+    return s / r

@@ -113,6 +113,7 @@ def score_topk_working_set(
     query_terms: DataFrame,
     working_set: DataFrame,
     k: int = 1000,
+    **kw,
 ) -> DataFrame:
     """Working-set restriction (reference `<workingSetDocno>`,
     optParams/wsdm12-improved-NThrsh-coordAsc.ipynb:490-495): score only
@@ -129,4 +130,4 @@ def score_topk_working_set(
         n_docs=index.n_docs,
         avgdl=index.avgdl,
     )
-    return score_topk(restricted_index, query_terms, k=k)
+    return score_topk(restricted_index, query_terms, k=k, **kw)

@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 
 PRINTABLE_RE = "^[\\x20-\\x7e]+$"
 
+# S4 static semantic-type table: the reference fetches
+# SemanticTypes_2013AA.txt over HTTP (umls/umlsSeqPubMed.ipynb:292-316)
+# to map abbreviation/name -> TUI; our build is network-free, so the
+# subset it actually uses — the 6 "good" types of the STY whitelist
+# (umls :423-427, conceptNet/conceptNetSeq.ipynb:146) — ships as a
+# static table.
+SEMANTIC_TYPES = {
+    "clnd": ("T200", "Clinical Drug"),
+    "dsyn": ("T047", "Disease or Syndrome"),
+    "mobd": ("T048", "Mental or Behavioral Dysfunction"),
+    "neop": ("T191", "Neoplastic Process"),
+    "sosy": ("T184", "Sign or Symptom"),
+    "patf": ("T046", "Pathologic Function"),
+}
+
+GOOD_TUIS = sorted(tui for tui, _ in SEMANTIC_TYPES.values())
+
+
+def semantic_types_df(spark: SparkSession) -> DataFrame:
+    """(abbr, tui, name) lookup DataFrame (broadcast-sized)."""
+    return spark.createDataFrame(
+        [(a, t, n) for a, (t, n) in sorted(SEMANTIC_TYPES.items())],
+        "abbr string, tui string, name string",
+    )
+
 
 def read_mrconso(spark: SparkSession, path: str) -> DataFrame:
     """MRCONSO.RRF -> (cui, name) with the reference's exact gates:

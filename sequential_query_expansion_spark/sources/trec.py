@@ -99,6 +99,47 @@ def read_trec_run(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_indri_cfg(
+    weighted_terms,
+    path: str,
+    count: int = 1000,
+    rule: str = "method:dir,mu:1600",
+    threads: int = 32,
+    trec_format: bool = True,
+) -> None:
+    """S10 compat sink: serialize a weighted query batch as an Indri
+    `<parameters>` XML file (the shape genQueries emits, umls/
+    umlsSeqPubMed.ipynb:555-633 and optParams/...coordAsc.ipynb
+    :1118-1213). Debug/interop surface only — the engine consumes the
+    DataFrame directly. weighted_terms: (qid, term, weight)."""
+    import html
+
+    rows = (
+        weighted_terms.orderBy("qid", "term")
+        .select("qid", "term", "weight")
+        .collect()
+    )
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append((r["term"], r["weight"]))
+    parts = ["<parameters>"]
+    for qid in sorted(by_qid):
+        terms = " ".join(f"{w:.6f} {html.escape(t)}" for t, w in by_qid[qid])
+        parts.append(
+            "<query><number>{q}</number><text>#weight( {t} )</text></query>".format(
+                q=html.escape(str(qid)), t=terms
+            )
+        )
+    parts.append(f"<count>{count}</count>")
+    parts.append(f"<rule>{html.escape(rule)}</rule>")
+    parts.append(f"<threads>{threads}</threads>")
+    if trec_format:
+        parts.append("<trecFormat>true</trecFormat>")
+    parts.append("</parameters>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts) + "\n")
+
+
 def read_trec_eval(spark: SparkSession, path: str) -> DataFrame:
     """trec_eval output (metric \t qid \t value) -> DataFrame; mirrors
     the reference's parse of `map` rows."""

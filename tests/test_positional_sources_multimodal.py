@@ -139,6 +139,26 @@ def test_rrf_scans(spark, tmp_path):
     assert {r["dst"] for r in kept} == {"C002"}
 
 
+def test_indri_cfg_writer(spark, tmp_path):
+    wt = spark.createDataFrame(
+        [("q1", "heart", 0.7), ("q1", "attack", 0.3), ("q2", "flu", 1.0)],
+        "qid string, term string, weight double",
+    )
+    p = tmp_path / "batch.cfg"
+    trec.write_indri_cfg(wt, str(p), count=10, rule="method:dir,mu:1600")
+    txt = p.read_text()
+    assert txt.startswith("<parameters>") and txt.rstrip().endswith("</parameters>")
+    assert "<number>q1</number>" in txt
+    assert "#weight( 0.300000 attack 0.700000 heart )" in txt  # (qid, term) sort
+    assert "<count>10</count>" in txt and "<trecFormat>true</trecFormat>" in txt
+
+
+def test_semantic_types_table(spark):
+    df = gsrc.semantic_types_df(spark)
+    rows = {r["tui"] for r in df.collect()}
+    assert rows == set(gsrc.GOOD_TUIS) and len(rows) == 6
+
+
 # --------------------------------------------------------------- multimodal
 
 @pytest.fixture(scope="module")

@@ -115,11 +115,43 @@ def test_eval_metrics_match_oracle(spark, index_tables, oracle_index,
         p10 = oracle.precision_at(ranked, rel, 10)
         ndcg = oracle.ndcg_at(ranked, grades, 10)
         rr = oracle.reciprocal_rank(ranked, rel)
+        rprec = oracle.r_precision(ranked, rel)
+        bp = oracle.bpref(ranked, rel, set())
         per_q_map.append(ap)
         assert got[("map", qid)] == pytest.approx(ap, abs=1e-9), qid
         assert got[("P_10", qid)] == pytest.approx(p10, abs=1e-9), qid
         assert got[("ndcg_cut_10", qid)] == pytest.approx(ndcg, abs=1e-9), qid
         assert got[("recip_rank", qid)] == pytest.approx(rr, abs=1e-9), qid
+        assert got[("Rprec", qid)] == pytest.approx(rprec, abs=1e-9), qid
+        assert got[("bpref", qid)] == pytest.approx(bp, abs=1e-9), qid
     assert got[("map", "all")] == pytest.approx(
         float(np.mean(per_q_map)), abs=1e-9
     )
+
+
+def test_bpref_with_judged_nonrelevant(spark):
+    """bpref must penalize judged-nonrelevant docs ranked above relevant
+    ones (the pseudo-qrels path never has judged nonrelevant, so this
+    exercises the N>0 branch directly)."""
+    # run: ranks 1..5 = docs 10,11,12,13,14
+    results = spark.createDataFrame(
+        [("q1", 10 + i, i + 1, 5.0 - i) for i in range(5)],
+        "qid string, doc_id long, rank int, score double",
+    )
+    # rel: 11, 13 relevant; 10, 12 judged nonrelevant; 14 unjudged
+    qrels = spark.createDataFrame(
+        [("q1", 10, 0), ("q1", 11, 1), ("q1", 12, 0), ("q1", 13, 2)],
+        "qid string, doc_id long, rel int",
+    )
+    got = {
+        (r["metric"], r["qid"]): r["value"]
+        for r in evaluate(results, qrels).collect()
+    }
+    ranked = [10, 11, 12, 13, 14]
+    want = oracle.bpref(ranked, {11, 13}, {10, 12})
+    # hand check: R=2, N=2, min(R,N)=2; doc11 has 1 nonrel above →
+    # 1 - 1/2 = 0.5; doc13 has 2 above, capped at min(2,R)=2 → 0.0;
+    # bpref = (0.5 + 0.0) / 2 = 0.25
+    assert want == pytest.approx(0.25)
+    assert got[("bpref", "q1")] == pytest.approx(want, abs=1e-9)
+    assert got[("Rprec", "q1")] == pytest.approx(0.5, abs=1e-9)  # top-2 has 1 rel
