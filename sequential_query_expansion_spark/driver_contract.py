@@ -480,6 +480,26 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, probes, k=TOPK)
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: approximate by construction
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.cosine_topk_ivf(emb, probes, k=TOPK)
+
+
+COS_PAIR_THRESHOLD = 0.45
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (embedding near-dup surface)."""
+    out = similarity.cosine_pairs_exact(
+        load_embeddings(spark, sf_dir), COS_PAIR_THRESHOLD
+    )
+    return out.select("doc_a", "doc_b", F.round("cos", 5).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -812,6 +832,14 @@ SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
 FROM ranked WHERE rank <= {TOPK}
 """
 
+    sql["cosine_pairs"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COS_PAIR_THRESHOLD}
+"""
+
     return sql
 
 
@@ -842,4 +870,6 @@ SPARK_QUERIES = {
     "quality_pipeline": q_quality_pipeline,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,    # rows-only (approximate)
+    "cosine_topk_ivf": q_cosine_topk_ivf,    # rows-only (approximate)
+    "cosine_pairs": q_cosine_pairs,
 }

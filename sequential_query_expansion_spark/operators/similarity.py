@@ -160,6 +160,108 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (oracle-sized; the LSH-bucketed
+    ``embedding_near_dup`` is the scale path for high thresholds)."""
+    a = embeddings.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", cosine_similarity_col(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: seeded centroids, argmax assignment, multi-probe
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic unit-norm centroids (seeded Gaussian). A trained
+    k-means codebook drops in here without touching the query path."""
+    rng = np.random.default_rng(seed + 1)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _centroid_scores(vec_col, centroids: np.ndarray):
+    """array<struct<s double, i int>> of dot products per centroid."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct(_dot(vec_col, lit_c).alias("s"), F.lit(i).alias("i"))
+        )
+    return F.array(*entries)
+
+
+def with_ivf_bucket(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "vec"
+) -> DataFrame:
+    """bucket = argmax_i dot(v, centroid_i) — struct array_max compares
+    by score first, so the max struct carries the winning index."""
+    return embeddings.withColumn(
+        "bucket",
+        F.array_max(_centroid_scores(F.col(vec_col), centroids)).getField("i"),
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k: scan side is assigned to its nearest centroid
+    once (write-time partitioning at scale → partition pruning); each
+    probe searches its ``nprobe`` nearest centroid lists."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    cents = ivf_centroids(dim, n_centroids, seed)
+
+    base = with_ivf_bucket(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        cents,
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    ).withColumn(
+        "buckets",
+        F.slice(
+            F.reverse(F.array_sort(_centroid_scores(F.col("p_vec"), cents))),
+            1,
+            nprobe,
+        ),
+    ).select(
+        "probe_id", "p_vec", F.explode("buckets.i").alias("bucket")
+    )
+    scored = (
+        base.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cosine_similarity_col(F.col("p_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "cos")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

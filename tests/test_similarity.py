@@ -1,0 +1,75 @@
+"""Similarity search: exact vs approximate (LSH + IVF) recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequential_query_expansion_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+N_PROBES = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def exact(emb, probes):
+    out = sim.cosine_topk(emb, probes, k=K).toPandas()
+    return {
+        pid: set(g.vec_id) for pid, g in out.groupby("probe_id")
+    }
+
+
+def _recall(approx_pdf, exact_sets):
+    hits = total = 0
+    for pid, want in exact_sets.items():
+        got = set(approx_pdf[approx_pdf.probe_id == pid].vec_id)
+        hits += len(got & want)
+        total += len(want)
+    return hits / total
+
+
+def test_exact_topk_shape(exact):
+    assert len(exact) == N_PROBES
+    assert all(len(v) == K for v in exact.values())
+
+
+def test_lsh_recall(emb, probes, exact):
+    out = sim.cosine_topk_lsh(emb, probes, k=K, n_planes=8, probe_bits=2)
+    r = _recall(out.toPandas(), exact)
+    # random gaussian embeddings have no angularly-tight neighbors, so
+    # hyperplane LSH recall is genuinely modest here; the test pins that
+    # the plumbing finds a nontrivial fraction, not a quality target
+    assert r >= 0.15, r
+
+
+def test_ivf_recall_and_monotone_nprobe(emb, probes, exact):
+    r_small = _recall(
+        sim.cosine_topk_ivf(emb, probes, k=K, n_centroids=8, nprobe=2).toPandas(),
+        exact,
+    )
+    r_all = _recall(
+        sim.cosine_topk_ivf(emb, probes, k=K, n_centroids=8, nprobe=8).toPandas(),
+        exact,
+    )
+    assert r_all == pytest.approx(1.0)  # probing every list == exact
+    assert r_small <= r_all
+    assert r_small >= 0.2, r_small
+
+
+def test_cosine_pairs_exact_symmetric(emb):
+    pairs = sim.cosine_pairs_exact(emb, 0.4).toPandas()
+    assert (pairs.doc_a < pairs.doc_b).all()
+    assert (pairs.cos >= 0.4).all()
