@@ -103,6 +103,22 @@ def run_suite(out_path: str | None = None) -> dict:
         sorted(per_q)[max(0, int(len(per_q) * 0.99) - 1)], 3
     )
 
+    # expanded (RM3) per-query latency — the BASELINE.md latency metric
+    # covers unexpanded AND expanded runs
+    from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
+
+    rm3_topk(idx, qt_all, k=10).count()  # warm-up
+    per_q_x = []
+    for qid in sorted(webtext.WEB_QUERIES):
+        qt = qt_all.filter(qt_all.qid == qid)
+        t0 = time.perf_counter()
+        rm3_topk(idx, qt, k=10).count()
+        per_q_x.append(time.perf_counter() - t0)
+    timings["rm3_p50"] = round(statistics.median(per_q_x), 3)
+    timings["rm3_p99"] = round(
+        sorted(per_q_x)[max(0, int(len(per_q_x) * 0.99) - 1)], 3
+    )
+
     def bench(name, fn):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()

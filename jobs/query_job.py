@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit entry point: batch BM25 (optionally RM3-expanded) top-k
+retrieval from a checkpointed index, writing a TREC-format run file.
+
+    spark-submit --py-files sqe.zip jobs/query_job.py \
+        --index <index dir> --topics <topics file> --output <run dir> \
+        [--k 1000] [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7]
+
+Topics format: `qid:text` lines (clueWeb style) or TREC SGML (auto by
+extension .sgml). Local smoke:
+    python jobs/query_job.py --index /tmp/idx_job \
+        --topics /tmp/topics.txt --output /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--topics", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--rm3", action="store_true")
+    ap.add_argument("--fb-docs", type=int, default=10)
+    ap.add_argument("--fb-terms", type=int, default=20)
+    ap.add_argument("--orig-weight", type=float, default=0.7)
+    args = ap.parse_args()
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from sequential_query_expansion_spark.session import get_spark
+
+        spark = get_spark("sqe-query")
+
+    from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
+    from sequential_query_expansion_spark.index.checkpoint import load_index
+    from sequential_query_expansion_spark.scoring.bm25 import (
+        query_term_table, score_topk,
+    )
+    from sequential_query_expansion_spark.sources import trec
+
+    idx = load_index(spark, args.index)
+    if args.topics.endswith((".sgml", ".xml")):
+        topics = trec.read_trec_topics_sgml(spark, args.topics)
+    else:
+        topics = trec.read_topics_lines(spark, args.topics)
+    qt = query_term_table(topics)
+    if args.rm3:
+        run = rm3_topk(
+            idx, qt, k=args.k, fb_docs=args.fb_docs,
+            fb_terms=args.fb_terms, orig_weight=args.orig_weight,
+        )
+    else:
+        run = score_topk(idx, qt, k=args.k)
+    trec.write_trec_run(run, args.output, tag="sqe-spark")
+    print(f"wrote run ({run.count()} rows) -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -153,6 +153,22 @@ def test_indri_cfg_writer(spark, tmp_path):
     assert "<count>10</count>" in txt and "<trecFormat>true</trecFormat>" in txt
 
 
+def test_table_io_parquet_fallback(spark, tmp_path):
+    from sequential_query_expansion_spark.sources import tables
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id long, v string, bucket int"
+    )
+    path = str(tmp_path / "t")
+    tables.write_table(df, path, partition_by=["bucket"])
+    back = tables.read_table(spark, path)
+    assert back.count() == 3
+    assert {r["v"] for r in back.collect()} == {"a", "b", "c"}
+    tables.write_table(df.limit(1), path, mode="append", partition_by=["bucket"])
+    assert tables.read_table(spark, path).count() == 4
+    assert not tables.iceberg_available(spark)  # no catalog in sandbox
+
+
 def test_semantic_types_table(spark):
     df = gsrc.semantic_types_df(spark)
     rows = {r["tui"] for r in df.collect()}
