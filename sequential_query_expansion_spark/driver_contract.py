@@ -399,6 +399,33 @@ def q_od_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_od_bigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same #od4 counts as q_od_bigram_counts but answered from the
+    POSITIONAL POSTINGS index (postings intersection + position kernel)
+    instead of a forward-index scan — shares its oracle SQL."""
+    from .index.positions import build_positional_postings, phrase_counts
+
+    idx = doc_index(spark, sf_dir)
+    positional = build_positional_postings(idx.doc_terms).persist()
+    parts = []
+    for a, b in OD_PAIRS:
+        m = phrase_counts(positional, [a, b], OD_WINDOW, ordered=True)
+        agg = m.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("matches"), F.lit(0)).cast("long").alias("total_matches"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(a).alias("a"), F.lit(b).alias("b"),
+                "n_docs", "total_matches",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 point lookups (dt/dd by id)."""
     return load_documents(spark, sf_dir).filter(
@@ -776,6 +803,8 @@ FROM (
     sql["od_bigram_counts"] = (
         f"WITH {_BASE}\n" + "\nUNION ALL\n".join(od_parts)
     )
+    # the positional-postings path must produce identical counts
+    sql["od_bigram_postings"] = sql["od_bigram_counts"]
 
     fetch_list = ", ".join(str(i) for i in FETCH_IDS)
     sql["doc_fetch"] = f"""
@@ -864,6 +893,7 @@ SPARK_QUERIES = {
     "cooccur_expand": q_cooccur_expand,
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,
+    "od_bigram_postings": q_od_bigram_postings,
     "doc_fetch": q_doc_fetch,
     "stats_by_source": q_stats_by_source,
     "bigram_stats": q_bigram_stats,

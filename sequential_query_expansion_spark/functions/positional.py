@@ -44,9 +44,9 @@ def _positions(tokens: Sequence[str], term: str) -> np.ndarray:
     )
 
 
-def od_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
-    """Ordered-window match count (greedy chaining)."""
-    pos = [_positions(tokens, t) for t in terms]
+def od_count_positions(pos: List[np.ndarray], n: int) -> int:
+    """Ordered-window match count from per-term sorted position arrays
+    (greedy chaining) — the positional-postings query kernel."""
     if any(len(p) == 0 for p in pos):
         return 0
     count = 0
@@ -62,6 +62,11 @@ def od_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
         if ok:
             count += 1
     return count
+
+
+def od_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
+    """Ordered-window match count over a token sequence."""
+    return od_count_positions([_positions(tokens, t) for t in terms], n)
 
 
 def uw_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
