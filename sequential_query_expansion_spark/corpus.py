@@ -57,7 +57,14 @@ def make_corpus(
     n_queries: int = 20,
     seed: int = 42,
     vocab_size: int = VOCAB_SIZE,
+    hard_fraction: float = 0.0,
 ) -> SyntheticCorpus:
+    """``hard_fraction`` > 0 marks that fraction of queries "hard" (the
+    reference's premise): half of a hard query's relevant docs contain
+    the query terms + related concepts, the other half ONLY the related
+    concepts — unexpanded BM25 cannot reach them; graph/PRF expansion
+    can. Default 0.0 keeps the original (rank-identity-test) corpus
+    byte-identical."""
     rng = np.random.default_rng(seed)
     vocab = np.asarray(vocabulary(vocab_size), dtype=object)
     probs = _zipf_probs(vocab_size)
@@ -74,6 +81,16 @@ def make_corpus(
         query_terms[qids[0]].append(str(vocab[0]))          # stopword
         query_terms[qids[1]].append("zzzunseen")            # OOV
 
+    n_hard = int(n_queries * hard_fraction)
+    hard_qids = set(qids[2: 2 + n_hard])  # skip the stopword/OOV queries
+    related_terms: Dict[str, List[str]] = {}
+    for qid in qids:
+        if qid in hard_qids:
+            ridx = rng.choice(
+                np.arange(3000, min(6000, vocab_size)), size=3, replace=False
+            )
+            related_terms[qid] = [str(vocab[j]) for j in ridx]
+
     # ---- per-query relevant docs: over-sample query terms ---------------
     rel_docs: Dict[str, List[int]] = {}
     taken = set()
@@ -83,11 +100,21 @@ def make_corpus(
         rel_docs[qid] = [int(d) for d in docs]
         taken.update(rel_docs[qid])
 
-    # doc -> extra terms to inject (query terms of the queries it's relevant to)
+    # doc -> extra terms to inject (query terms of the queries it's relevant
+    # to; for hard queries, half the relevant docs carry only the RELATED
+    # concepts, reachable exclusively through expansion)
     inject: Dict[int, List[str]] = {}
     for qid, docs in rel_docs.items():
-        for d in docs:
-            inject.setdefault(d, []).extend(query_terms[qid])
+        for j, d in enumerate(docs):
+            if qid in hard_qids:
+                if j % 2 == 0:
+                    inject.setdefault(d, []).extend(
+                        query_terms[qid] + related_terms[qid]
+                    )
+                else:
+                    inject.setdefault(d, []).extend(related_terms[qid])
+            else:
+                inject.setdefault(d, []).extend(query_terms[qid])
 
     # ---- pages -----------------------------------------------------------
     lengths = np.maximum(
@@ -161,6 +188,10 @@ def make_corpus(
             for t2 in terms:
                 if t2 != t:
                     edges.append((rels[len(edges) % 4], t, t2, 3))
+            # hard queries: edges from every query term to the related
+            # concepts (what the expansion is supposed to discover)
+            for t2 in related_terms.get(qid, []):
+                edges.append((rels[len(edges) % 4], t, t2, 3))
             # plus a few random neighbors (noise)
             for j in rng.integers(0, vocab_size, size=3):
                 edges.append((rels[len(edges) % 4], t, str(vocab[int(j)]), 1))
@@ -168,4 +199,7 @@ def make_corpus(
         edges, columns=["rel", "src", "dst", "weight"]
     ).drop_duplicates(["src", "dst"]).reset_index(drop=True)
 
-    return SyntheticCorpus(pages, queries, qrels, graph_edges, query_terms)
+    corpus = SyntheticCorpus(pages, queries, qrels, graph_edges, query_terms)
+    corpus.related_terms = related_terms
+    corpus.hard_qids = hard_qids
+    return corpus
