@@ -142,11 +142,14 @@ def run_suite(out_path: str | None = None) -> dict:
         "cpus": CPUS,
     }
     line = json.dumps(result)
+    # stop Spark BEFORE printing the result line: the worker-daemon
+    # teardown can emit a (harmless) BrokenPipeError traceback, and the
+    # driver parses the LAST json-looking stdout line — keep ours last.
+    spark.stop()
     print(line)
     if out_path:
         with open(out_path, "w") as f:
             f.write(line + "\n")
-    spark.stop()
     return result
 
 
@@ -178,8 +181,16 @@ def run_scaling() -> None:
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=1800,
         )
-        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(last)
+        json_lines = [
+            l for l in out.stdout.strip().splitlines() if l.startswith("{")
+        ]
+        if out.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"scaling child at {cpus} cores failed "
+                f"(rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-20:])
+            )
+        results[cpus] = json.loads(json_lines[-1])
     tp_n = results[base]["docs_per_sec"]
     tp_4n = results[base * 4]["docs_per_sec"]
     eff = tp_4n / (4.0 * tp_n)
@@ -204,17 +215,18 @@ def run_build_only() -> None:
     # attributed to the measured run
     _build_and_time(spark, SF_DIR.replace("sf0.1", "sf0.001"), replicate=1)
     idx, t_build = _build_and_time(spark, SF_DIR, replicate=replicate)
+    n_docs = idx.n_docs
+    spark.stop()           # before the print: keep our JSON the last line
     print(json.dumps({
         "metric": "index_build_sec",
         "value": round(t_build, 3),
         "unit": "sec",
         "queries": {"index_build": round(t_build, 3)},
         "sf": _sf_from_dir(SF_DIR),
-        "n_docs": idx.n_docs,
-        "docs_per_sec": round(idx.n_docs / t_build, 1),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_build, 1),
         "cpus": CPUS,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -249,7 +249,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (bit-level hashing is not reproducible in ANSI SQL)
+    """SimHash near-dup pairs, value-oracled: the md5-derived term hash
+    lets DuckDB recompute every sign-vote bit-for-bit."""
     return dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=6)
 
 
@@ -317,6 +318,45 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric", "qid", F.round("value", 6).alias("value"))
 
 
+ASSOC_MIN_DF_BOTH = 2
+ASSOC_N_TERMS = 10
+
+
+def q_assoc_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`assoc` method (evals/assoc*/ golden families): candidates
+    weighted by a static association score — here the corpus-derived
+    doc-set Jaccard table — instead of the 14-feature combine."""
+    from .expansion.assoc import assoc_expand
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = assoc_expand(
+        idx, qt, n_terms=ASSOC_N_TERMS, min_df_both=ASSOC_MIN_DF_BOTH,
+        rank_round=RANK_ROUND + 3,
+    )
+    return out.select("qid", "term", F.round("weight", 6).alias("weight"))
+
+
+def q_inferred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 inferred measures (sample_eval.pl analogue — the reference's
+    CDS14 headline metric is infNDCG): infAP/infNDCG over a
+    deterministic 50% 'sample' of the pseudo-qrels (doc_id even,
+    rate 0.5), so the DuckDB oracle recomputes the IPW estimators
+    value-for-value."""
+    from .evalmetrics import evaluate_inferred
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    run = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND).select(
+        "qid", "doc_id", "rank", "score"
+    )
+    sq = pseudo_qrels(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 0
+    ).withColumn("rate", F.lit(0.5))
+    out = evaluate_inferred(run, sq)
+    return out.select("metric", "qid", F.round("value", 6).alias("value"))
+
+
 def q_cooccur_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hop co-occurrence expansion: J1 graph lookup + A1 mutual-count
     filter + F5 orig-term exclusion + T1 top-N, over the corpus itself."""
@@ -351,6 +391,12 @@ def q_cooccur_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 WORKING_SET_MAX_DOC = 50
 OD_PAIRS = [("hash", "join"), ("group", "agg"), ("sort", "order")]
 OD_WINDOW = 4
+# Concept queries for the phrase-clause *scoring* entry (the reference's
+# #weight(0.8 name 0.1 #od4 0.1 #uwN) rendering); 2-term names keep the
+# uw clause DuckDB-expressible (consecutive-opposite-event formulation).
+CONCEPT_PHRASES = {"c1": "hash join", "c2": "group agg", "c3": "sort order"}
+UW2_N = 9                  # default_uw_n(2) = 4·m + 1
+W_TERM, W_OD, W_UW = 0.8, 0.1, 0.1
 FETCH_IDS = [1, 10, 17, 23]
 
 
@@ -403,10 +449,10 @@ def q_od_bigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same #od4 counts as q_od_bigram_counts but answered from the
     POSITIONAL POSTINGS index (postings intersection + position kernel)
     instead of a forward-index scan — shares its oracle SQL."""
-    from .index.positions import build_positional_postings, phrase_counts
+    from .index.positions import phrase_counts
+    from .webtext import positional_index
 
-    idx = doc_index(spark, sf_dir)
-    positional = build_positional_postings(idx.doc_terms).persist()
+    positional = positional_index(spark, sf_dir)
     parts = []
     for a, b in OD_PAIRS:
         m = phrase_counts(positional, [a, b], OD_WINDOW, ordered=True)
@@ -424,6 +470,28 @@ def q_od_bigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_phrase_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 + W1/W2 as *scoring*: the reference's concept rendering
+    `#weight(0.8 #combine(name) 0.1 #combine(#od4 bigrams) 0.1 #uwN(name))`
+    (umls/umlsSeqPubMed.ipynb:555-633) — phrase matches contribute
+    BM25-scored pseudo-term weight to the retrieval score."""
+    from .scoring.phrase import concept_query_topk
+    from .webtext import positional_index
+
+    idx = doc_index(spark, sf_dir)
+    positional = positional_index(spark, sf_dir)
+    out = concept_query_topk(
+        spark, idx, positional, CONCEPT_PHRASES, k=TOPK,
+        rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
 
 
 def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,7 +517,9 @@ def q_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 bigram generation + frequency table (bigrams with count ≥ 50)."""
+    """X6 bigram generation + frequency table (bigrams with count ≥ 20 —
+    threshold chosen to be non-empty at BOTH driver SFs, so the oracle
+    row carries real values; ≥ 50 was vacuous at sf0.01)."""
     from .functions.text import bigrams_col, tokenize_col
 
     docs = load_documents(spark, sf_dir)
@@ -457,7 +527,7 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(bigrams_col(tokenize_col(F.col("text")))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("n"))
-        .filter(F.col("n") >= 50)
+        .filter(F.col("n") >= 20)
     )
 
 
@@ -498,22 +568,59 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_N_PLANES = 12
+EMB_DIM = 64
+IVF_CENTROID_IDS = list(range(100, 116))   # 16 fixed rows as the codebook
+IVF_NPROBE = 4
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: approximate by construction
+    """Multi-probe LSH ANN, value-oracled: md5-parity ±1 projection
+    planes are recomputed verbatim by the DuckDB oracle, so the bucket
+    assignment, probing set, and ranked output all hash-match. The
+    approximation (vs exact top-k) is the method; the VALUES are exact."""
     emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return similarity.cosine_topk_lsh(emb, probes, k=TOPK)
+    planes = similarity.hyperplanes_md5pm1(EMB_DIM, LSH_N_PLANES)
+    out = similarity.cosine_topk_lsh(
+        emb, probes, k=TOPK, probe_bits=1, planes=planes,
+        score_round=RANK_ROUND, rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "probe_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos"),
+    )
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: approximate by construction
+    """IVF ANN, value-oracled: the codebook is 16 FIXED table rows
+    (deterministic sample — a trained k-means codebook drops into the
+    same parameter), so DuckDB reconstructs assignment + nprobe lists."""
     emb = load_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return similarity.cosine_topk_ivf(emb, probes, k=TOPK)
+    import numpy as np
+
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    out = similarity.cosine_topk_ivf(
+        emb, probes, k=TOPK, nprobe=IVF_NPROBE, centroids=cents,
+        score_round=RANK_ROUND, rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "probe_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos"),
+    )
 
 
 COS_PAIR_THRESHOLD = 0.45
@@ -632,6 +739,35 @@ FROM jpairs WHERE jaccard >= 0.8
     # LSH recall at j≥0.8 with 128 hashes / 32 bands is ≈1 → identical output
     sql["minhash_dedup"] = sql["ngram_jaccard"]
 
+    # SimHash bit-for-bit: term hash = ('0x'||md5[:16])::UBIGINT exactly
+    # matches the engine's _simhash_term_hash; per-bit tf-weighted sign
+    # votes, then all-pairs hamming (oracle-sized; the engine side uses
+    # pigeonhole-piece candidate generation instead of all-pairs).
+    sql["simhash_pairs"] = f"""
+WITH {_BASE},
+bitsidx AS (SELECT unnest(generate_series(0, 63)) AS bit),
+termh AS (
+  SELECT term, ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h
+  FROM vocab),
+votes AS (
+  SELECT tf.doc_id, b.bit,
+         sum(tf.tf * (CASE WHEN ((th.h >> b.bit::UBIGINT) & 1::UBIGINT) = 1
+                           THEN 1 ELSE -1 END)) AS v
+  FROM tf JOIN termh th USING (term) CROSS JOIN bitsidx b
+  GROUP BY tf.doc_id, b.bit),
+signs AS (
+  SELECT d.doc_id, b.bit,
+         CASE WHEN coalesce(v.v, 0) > 0 THEN 1 ELSE 0 END AS s
+  FROM documents d CROSS JOIN bitsidx b
+  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.bit = b.bit),
+ham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)::BIGINT AS hamming
+  FROM signs a JOIN signs b ON a.bit = b.bit AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+"""
+
     sql["bm25_topk"] = f"""
 WITH {_BASE},
 {qterms},
@@ -700,7 +836,13 @@ aggq AS (
          sum(CASE WHEN rel > 0 AND rank <= 10
                   THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg,
          sum(CASE WHEN rel > 0 AND rank <= n.n_rel THEN 1 ELSE 0 END) AS rprec_hits,
-         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret,
+         count(*) AS num_ret,
+         {", ".join(
+             f"max(CASE WHEN rel > 0 AND hits * 10 >= {lvl} * n.n_rel "
+             f"THEN hits::DOUBLE / rank END) AS ip{lvl}"
+             for lvl in range(11)
+         )}
   FROM perhit p LEFT JOIN nrel n USING (qid) GROUP BY p.qid),
 ideal AS (
   SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
@@ -724,7 +866,13 @@ perq AS (
          -- retrieved relevant contributes 1 (trec_eval N=0 behavior)
          CASE WHEN coalesce(n.n_rel, 0) > 0
               THEN coalesce(a.rel_ret, 0)::DOUBLE / n.n_rel
-              ELSE 0.0 END AS bpref
+              ELSE 0.0 END AS bpref,
+         coalesce(a.num_ret, 0)::DOUBLE AS num_ret,
+         coalesce(n.n_rel, 0)::DOUBLE AS num_rel,
+         coalesce(a.rel_ret, 0)::DOUBLE AS num_rel_ret,
+         {", ".join(
+             f"coalesce(a.ip{lvl}, 0.0) AS ip{lvl}" for lvl in range(11)
+         )}
   FROM (SELECT DISTINCT qid FROM run) q
   LEFT JOIN aggq a USING (qid)
   LEFT JOIN nrel n USING (qid)
@@ -735,11 +883,106 @@ longf AS (
   UNION ALL SELECT 'ndcg_cut_10', qid, ndcg_cut_10 FROM perq
   UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq
   UNION ALL SELECT 'Rprec', qid, rprec FROM perq
-  UNION ALL SELECT 'bpref', qid, bpref FROM perq)
+  UNION ALL SELECT 'bpref', qid, bpref FROM perq
+  UNION ALL SELECT 'num_ret', qid, num_ret FROM perq
+  UNION ALL SELECT 'num_rel', qid, num_rel FROM perq
+  UNION ALL SELECT 'num_rel_ret', qid, num_rel_ret FROM perq
+  {" ".join(
+      f"UNION ALL SELECT 'iprec_at_recall_{lvl / 10:.2f}', qid, ip{lvl} FROM perq"
+      for lvl in range(11)
+  )})
 SELECT metric, qid, round(value, 6) AS value FROM longf
 UNION ALL
-SELECT metric, 'all' AS qid, round(avg(value), 6) AS value
+SELECT metric, 'all' AS qid,
+       round(CASE WHEN metric IN ('num_ret', 'num_rel', 'num_rel_ret')
+                  THEN sum(value) ELSE avg(value) END, 6) AS value
 FROM longf GROUP BY metric
+"""
+
+    sql["assoc_expand"] = f"""
+WITH {_BASE},
+{qterms},
+aqt AS (SELECT DISTINCT qid, term AS orig FROM qterms),
+srcs AS (SELECT DISTINCT orig FROM aqt),
+docs_per AS (SELECT term, doc_id FROM tf),
+pairdf AS (
+  SELECT sp.orig, dp.term AS cand, count(*)::BIGINT AS df_both
+  FROM (SELECT d.term AS orig, d.doc_id
+        FROM docs_per d JOIN srcs s ON s.orig = d.term) sp
+  JOIN docs_per dp ON dp.doc_id = sp.doc_id AND dp.term <> sp.orig
+  GROUP BY sp.orig, dp.term
+  HAVING count(*) >= {ASSOC_MIN_DF_BOTH}),
+assoc AS (
+  SELECT p.orig, p.cand,
+         p.df_both::DOUBLE / (vs.df + vc.df - p.df_both) AS assoc
+  FROM pairdf p
+  JOIN vocab vs ON vs.term = p.orig
+  JOIN vocab vc ON vc.term = p.cand),
+acand AS (
+  SELECT q.qid, a.cand, sum(a.assoc) AS score
+  FROM aqt q JOIN assoc a USING (orig)
+  LEFT JOIN aqt x ON x.qid = q.qid AND x.orig = a.cand
+  WHERE x.orig IS NULL AND regexp_matches(a.cand, '^[\\x20-\\x7e]+$')
+  GROUP BY q.qid, a.cand),
+atop AS (
+  SELECT qid, cand, score FROM (
+    SELECT qid, cand, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, {RANK_ROUND + 3}) DESC, cand) AS rn
+    FROM acand) WHERE rn <= {ASSOC_N_TERMS})
+SELECT qid, cand AS term,
+       round(score / sum(score) OVER (PARTITION BY qid), 6) AS weight
+FROM atop
+"""
+
+    sql["inferred_eval"] = f"""
+WITH {_BASE},
+{qterms},
+{_SCORED},
+{_QRELS},
+sq AS (SELECT qid, doc_id, rel, 0.5 AS rate FROM qrels WHERE doc_id % 2 = 0),
+irun AS (SELECT qid, doc_id, rank FROM topk WHERE rank <= {TOPK}),
+ij AS (SELECT r.qid, r.doc_id, r.rank, s.rel, s.rate,
+              CASE WHEN s.rel > 0 THEN 1.0 / s.rate ELSE 0.0 END AS w_rel
+       FROM irun r LEFT JOIN sq s ON r.qid = s.qid AND r.doc_id = s.doc_id),
+iph AS (SELECT *, coalesce(sum(w_rel) OVER (
+              PARTITION BY qid ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS rel_above
+        FROM ij),
+irhat AS (SELECT qid, sum(1.0 / rate) AS r_hat FROM sq WHERE rel > 0 GROUP BY qid),
+isums AS (SELECT qid,
+            sum((1.0 / rate) * (1.0 + rel_above) / rank) AS ap_sum,
+            sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0) / rate) AS dcg_hat
+          FROM iph WHERE rel > 0 GROUP BY qid),
+igc AS (SELECT qid, rel, round(sum(1.0 / rate))::BIGINT AS n_g
+        FROM sq WHERE rel > 0 GROUP BY qid, rel
+        HAVING round(sum(1.0 / rate)) > 0),
+igs AS (SELECT qid, rel, n_g,
+               coalesce(sum(n_g) OVER (PARTITION BY qid ORDER BY rel DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        FROM igc),
+iidcg AS (SELECT qid, sum(part) AS idcg_hat FROM (
+            SELECT qid,
+                   (pow(2.0, rel) - 1.0)
+                   / log2(unnest(generate_series((strt + 1)::BIGINT,
+                                                 (strt + n_g)::BIGINT)) + 1.0) AS part
+            FROM igs)
+          GROUP BY qid),
+iperq AS (SELECT q.qid,
+            CASE WHEN coalesce(r.r_hat, 0) > 0
+                 THEN coalesce(s.ap_sum, 0) / r.r_hat ELSE 0.0 END AS infap,
+            CASE WHEN coalesce(i.idcg_hat, 0) > 0
+                 THEN coalesce(s.dcg_hat, 0) / i.idcg_hat ELSE 0.0 END AS infndcg
+          FROM (SELECT DISTINCT qid FROM irun) q
+          LEFT JOIN isums s USING (qid)
+          LEFT JOIN irhat r USING (qid)
+          LEFT JOIN iidcg i USING (qid)),
+ilong AS (SELECT 'infAP' AS metric, qid, infap AS value FROM iperq
+          UNION ALL SELECT 'infNDCG', qid, infndcg FROM iperq)
+SELECT metric, qid, round(value, 6) AS value FROM ilong
+UNION ALL
+SELECT metric, 'all' AS qid, round(avg(value), 6) AS value
+FROM ilong GROUP BY metric
 """
 
     sql["cooccur_expand"] = f"""
@@ -806,6 +1049,73 @@ FROM (
     # the positional-postings path must produce identical counts
     sql["od_bigram_postings"] = sql["od_bigram_counts"]
 
+    # phrase-clause scoring: each 2-term concept qid scores as
+    #   0.4·BM25(a) + 0.4·BM25(b)            (#combine(name), w=0.8)
+    # + 0.1·BM25(tf=#od4 count, df=od docs)  (#combine(#od4(a b)))
+    # + 0.1·BM25(tf=#uw9 count, df=uw docs)  (#uw9(a b))
+    # The 2-term #uwN count equals the number of CONSECUTIVE events in
+    # the merged (a|b) position stream with differing terms and span ≤ N
+    # (left-minimal covering windows) — expressible with lag().
+    _BM25 = (
+        "{w} * ln(1.0 + (s.n_docs - {df} + 0.5) / ({df} + 0.5)) "
+        f"* {{tf}} * {K1 + 1.0} "
+        f"/ ({{tf}} + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    )
+    pw_ctes, pw_contribs = [], []
+    for qid in sorted(CONCEPT_PHRASES):
+        a, b = CONCEPT_PHRASES[qid].split()
+        pw_ctes.append(f"""
+od_{qid} AS (
+  SELECT doc_id, len(list_filter(generate_series(1, len(toks)),
+         j -> toks[j] = '{a}' AND list_contains(toks[j+1:j+{OD_WINDOW}], '{b}')))::BIGINT AS tf
+  FROM doctoks),
+odp_{qid} AS (SELECT doc_id, tf FROM od_{qid} WHERE tf > 0),
+oddf_{qid} AS (SELECT count(*)::DOUBLE AS df FROM odp_{qid}),
+ev_{qid} AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{a}')) AS pos, 0 AS tid
+  FROM doctoks
+  UNION ALL
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{b}')) AS pos, 1 AS tid
+  FROM doctoks),
+uw_{qid} AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE tid <> ptid AND pos - ppos + 1 <= {UW2_N})::BIGINT AS tf
+  FROM (SELECT doc_id, pos, tid,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos,
+               lag(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS ptid
+        FROM ev_{qid})
+  GROUP BY doc_id),
+uwp_{qid} AS (SELECT doc_id, tf FROM uw_{qid} WHERE tf > 0),
+uwdf_{qid} AS (SELECT count(*)::DOUBLE AS df FROM uwp_{qid})""")
+        t_expr = _BM25.format(w=W_TERM / 2.0, df="v.df", tf="tf.tf")
+        od_expr = _BM25.format(w=W_OD, df="f.df", tf="p.tf")
+        uw_expr = _BM25.format(w=W_UW, df="f.df", tf="p.tf")
+        pw_contribs.append(f"""
+  SELECT '{qid}' AS qid, tf.doc_id, {t_expr} AS contrib
+  FROM tf JOIN vocab v USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('{a}', '{b}')
+  UNION ALL
+  SELECT '{qid}', p.doc_id, {od_expr}
+  FROM odp_{qid} p JOIN dl USING (doc_id) CROSS JOIN oddf_{qid} f CROSS JOIN stats s
+  UNION ALL
+  SELECT '{qid}', p.doc_id, {uw_expr}
+  FROM uwp_{qid} p JOIN dl USING (doc_id) CROSS JOIN uwdf_{qid} f CROSS JOIN stats s""")
+    sql["phrase_weighted_topk"] = f"""
+WITH {_BASE},{",".join(pw_ctes)},
+contribs AS ({" UNION ALL ".join(pw_contribs)}),
+pscored AS (
+  SELECT qid, doc_id, sum(contrib) AS score FROM contribs GROUP BY qid, doc_id),
+ptopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM pscored)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM ptopk WHERE rank <= {TOPK}
+"""
+
     fetch_list = ", ".join(str(i) for i in FETCH_IDS)
     sql["doc_fetch"] = f"""
 SELECT doc_id, text, lang, source FROM documents WHERE doc_id IN ({fetch_list})
@@ -826,7 +1136,7 @@ SELECT bigram, count(*)::BIGINT AS n FROM (
   SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
                                i -> toks[i] || ' ' || toks[i+1])) AS bigram
   FROM doctoks WHERE len(toks) >= 2)
-GROUP BY bigram HAVING count(*) >= 50
+GROUP BY bigram HAVING count(*) >= 20
 """
 
     sql["quality_pipeline"] = f"""
@@ -861,6 +1171,78 @@ SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
 FROM ranked WHERE rank <= {TOPK}
 """
 
+    cent_list = ", ".join(str(c) for c in IVF_CENTROID_IDS)
+    sql["cosine_topk_lsh"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT j.j, d.d,
+         CASE WHEN ('0x' || substring(md5(j.j::VARCHAR || ':' || d.d::VARCHAR), 1, 1))::INT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM generate_series(0, {LSH_N_PLANES - 1}) AS j(j),
+       generate_series(0, {EMB_DIM - 1}) AS d(d)),
+sgn AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN round(sum(e.v[p.d + 1] * p.w), {RANK_ROUND}) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e, pl p GROUP BY e.vec_id, p.j),
+bkt AS (
+  SELECT vec_id, sum(bit * (1::BIGINT << j))::BIGINT AS bucket
+  FROM sgn GROUP BY vec_id),
+nbr AS (
+  SELECT b.vec_id AS probe_id,
+         xor(b.bucket, CASE WHEN f.f < 0 THEN 0 ELSE (1::BIGINT << f.f) END) AS nb
+  FROM bkt b, generate_series(-1, {LSH_N_PLANES - 1}) AS f(f)
+  WHERE b.vec_id IN ({probe_list})),
+cand AS (
+  SELECT DISTINCT n.probe_id, v.vec_id
+  FROM nbr n JOIN bkt v ON v.bucket = n.nb
+  WHERE v.vec_id <> n.probe_id),
+lscored AS (
+  SELECT c.probe_id, c.vec_id, list_cosine_similarity(pe.v, e.v) AS cos
+  FROM cand c JOIN e pe ON pe.vec_id = c.probe_id JOIN e ON e.vec_id = c.vec_id),
+lranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(cos, {RANK_ROUND}) DESC, vec_id) AS rank
+  FROM lscored)
+SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
+FROM lranked WHERE rank <= {TOPK}
+"""
+
+    sql["cosine_topk_ivf"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+cscore AS (
+  SELECT e.vec_id, c.i, round(list_dot_product(e.v, c.v), {RANK_ROUND}) AS s
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, i AS bucket FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+    FROM cscore) WHERE rn = 1),
+pprobe AS (
+  SELECT vec_id AS probe_id, i AS bucket FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+    FROM cscore WHERE vec_id IN ({probe_list})) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.probe_id, a.vec_id
+  FROM pprobe p JOIN assign a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.probe_id),
+iscored AS (
+  SELECT c.probe_id, c.vec_id, list_cosine_similarity(pe.v, e.v) AS cos
+  FROM cand c JOIN e pe ON pe.vec_id = c.probe_id JOIN e ON e.vec_id = c.vec_id),
+iranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(cos, {RANK_ROUND}) DESC, vec_id) AS rank
+  FROM iscored)
+SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
+FROM iranked WHERE rank <= {TOPK}
+"""
+
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -890,10 +1272,13 @@ SPARK_QUERIES = {
     "rm3_expansion": q_rm3_expansion,
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "eval_metrics": q_eval_metrics,
+    "inferred_eval": q_inferred_eval,
     "cooccur_expand": q_cooccur_expand,
+    "assoc_expand": q_assoc_expand,
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,
     "od_bigram_postings": q_od_bigram_postings,
+    "phrase_weighted_topk": q_phrase_weighted_topk,
     "doc_fetch": q_doc_fetch,
     "stats_by_source": q_stats_by_source,
     "bigram_stats": q_bigram_stats,

@@ -21,9 +21,13 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
              ndcg_at: int = 10) -> DataFrame:
     """-> (metric string, qid string, value double), including 'all' rows.
 
-    Metrics: map, P_{p_at}, ndcg_cut_{ndcg_at}, recip_rank, Rprec, bpref
-    — the set the reference's eval files carry (map at ipynb:31480-31496,
-    P_10 / infNDCG / Rprec / bpref rows in evals/dir/*/indriRunQuery.evals).
+    Metrics: map, P_{p_at}, ndcg_cut_{ndcg_at}, recip_rank, Rprec, bpref,
+    num_ret, num_rel, num_rel_ret, and the 11 interpolated-precision
+    points iprec_at_recall_0.00..1.00 — the full row inventory of the
+    reference's eval files (evals/dir/trec7n8/indriRunQuery.evals carries
+    30 rows per block; map at ipynb:31480-31496). The 'all' row for the
+    three count metrics is the SUM over queries (trec_eval semantics);
+    every other 'all' row is the arithmetic mean.
 
     ``qrels`` may contain judged-nonrelevant rows (rel = 0); they feed
     bpref. Unjudged retrieved docs count as nonrelevant for precision
@@ -84,8 +88,12 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
                 )
             ).alias("dcg"),
             F.collect_list(
-                F.when(F.col("rel") > 0, F.struct("rank", "nonrel_above"))
+                F.when(
+                    F.col("rel") > 0,
+                    F.struct("rank", "nonrel_above", "hits"),
+                )
             ).alias("rel_hits"),
+            F.count("*").alias("num_ret"),
         )
         .join(n_rel, "qid", "left")
         .join(n_nonrel, "qid", "left")
@@ -159,11 +167,36 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
             )
             .otherwise(0.0)
             .alias("bpref"),
+            F.col("num_ret").cast("double").alias("num_ret"),
+            F.col("n_rel").cast("double").alias("num_rel"),
+            F.size("rel_hits").cast("double").alias("num_rel_ret"),
+            # interpolated precision at the 11 standard recall points:
+            # iprec(r) = max{ prec(k) : recall(k) ≥ r } — the max is
+            # attained at a relevant-hit rank, so rel_hits suffices.
+            # recall(k) ≥ j/10 ⇔ 10·hits ≥ j·R (integer arithmetic, so a
+            # cross-engine oracle can't disagree at the boundary).
+            *[
+                F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            F.filter(
+                                "rel_hits",
+                                lambda h: (h["hits"] * 10)
+                                >= F.lit(lvl) * F.col("n_rel"),
+                            ),
+                            lambda h: h["hits"].cast("double") / h["rank"],
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias(f"iprec_at_recall_{lvl / 10:.2f}")
+                for lvl in range(11)
+            ],
         )
     )
 
     metrics = ["map", f"P_{p_at}", f"ndcg_cut_{ndcg_at}", "recip_rank",
-               "Rprec", "bpref"]
+               "Rprec", "bpref", "num_ret", "num_rel", "num_rel_ret",
+               *[f"iprec_at_recall_{lvl / 10:.2f}" for lvl in range(11)]]
     long = per_q.selectExpr(
         "qid",
         "stack({n}, {args}) as (metric, value)".format(
@@ -172,6 +205,126 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
         ),
     ).select("metric", "qid", "value")
 
+    count_metrics = ["num_ret", "num_rel", "num_rel_ret"]
+    overall = long.groupBy("metric").agg(
+        F.when(
+            F.col("metric").isin(count_metrics), F.sum("value")
+        ).otherwise(F.avg("value")).alias("value")
+    ).select("metric", F.lit("all").alias("qid"), "value")
+    return long.unionByName(overall)
+
+
+def evaluate_inferred(results: DataFrame, sampled_qrels: DataFrame) -> DataFrame:
+    """infAP / infNDCG over SAMPLED judgments — the native analogue of
+    the reference's sample_eval.pl runs (conceptNet/conceptNetSeq.ipynb:
+    37614-37700; the CDS14 headline infNDCG 0.2889, README.md:28).
+
+    ``sampled_qrels(qid, doc_id, rel, rate)``: each judged doc carries
+    the sampling rate of its stratum (P[judged | in stratum]). Estimators
+    are inverse-probability-weighted:
+
+      R̂       = Σ_{judged rel} 1/rate
+      infAP   = (1/R̂) Σ_{retrieved judged rel @ k} (1/rate)·p̂(k),
+                p̂(k) = (1 + Σ_{judged rel above k} 1/rate′) / k
+      infNDCG = DCĜ / IDCĜ,
+                DCĜ  = Σ_{retrieved judged rel @ k} (2^rel−1)/log2(k+1)/rate
+                IDCĜ = ideal DCG of the IPW-estimated per-grade counts
+                       (rounded to integers, grades filled descending)
+
+    With rate ≡ 1 both reduce EXACTLY to AP and full-depth NDCG
+    (regression-tested); at rate < 1 they are unbiased up to the
+    integer rounding of IDCĜ. Returns (metric, qid, value) + 'all' means.
+    """
+    j = results.join(
+        sampled_qrels.select("qid", "doc_id", "rel", "rate"),
+        ["qid", "doc_id"],
+        "left",
+    ).withColumn(
+        "w_rel",
+        F.when(F.col("rel") > 0, F.lit(1.0) / F.col("rate")).otherwise(0.0),
+    )
+
+    w_rank = Window.partitionBy("qid").orderBy("rank")
+    w_above = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    per_hit = j.withColumn(
+        "rel_above_hat", F.coalesce(F.sum("w_rel").over(w_above), F.lit(0.0))
+    )
+
+    r_hat = (
+        sampled_qrels.filter(F.col("rel") > 0)
+        .groupBy("qid")
+        .agg(F.sum(F.lit(1.0) / F.col("rate")).alias("r_hat"))
+    )
+
+    per_q_sums = (
+        per_hit.filter(F.col("rel") > 0)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.lit(1.0) / F.col("rate"))
+                * (1.0 + F.col("rel_above_hat"))
+                / F.col("rank")
+            ).alias("ap_sum"),
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rank") + 1.0)
+                / F.col("rate")
+            ).alias("dcg_hat"),
+        )
+    )
+
+    # IDCĜ: IPW-estimated count per grade, rounded, filled descending.
+    grade_counts = (
+        sampled_qrels.filter(F.col("rel") > 0)
+        .groupBy("qid", "rel")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("rate"))).cast("long").alias("n_g"))
+        .filter(F.col("n_g") > 0)
+    )
+    w_grade = Window.partitionBy("qid").orderBy(F.desc("rel"))
+    idcg = (
+        grade_counts.withColumn(
+            "start",
+            F.coalesce(
+                F.sum("n_g").over(w_grade.rowsBetween(
+                    Window.unboundedPreceding, -1
+                )),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "idcg_part",
+            F.aggregate(
+                F.sequence(F.col("start") + 1, F.col("start") + F.col("n_g")),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(i.cast("double") + 1.0),
+            ),
+        )
+        .groupBy("qid")
+        .agg(F.sum("idcg_part").alias("idcg_hat"))
+    )
+
+    per_q = (
+        results.select("qid").distinct()
+        .join(per_q_sums, "qid", "left")
+        .join(r_hat, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            "qid",
+            F.when(
+                F.col("r_hat") > 0,
+                F.coalesce(F.col("ap_sum"), F.lit(0.0)) / F.col("r_hat"),
+            ).otherwise(0.0).alias("infAP"),
+            F.when(
+                F.col("idcg_hat") > 0,
+                F.coalesce(F.col("dcg_hat"), F.lit(0.0)) / F.col("idcg_hat"),
+            ).otherwise(0.0).alias("infNDCG"),
+        )
+    )
+    long = per_q.selectExpr(
+        "qid", "stack(2, 'infAP', infAP, 'infNDCG', infNDCG) as (metric, value)"
+    ).select("metric", "qid", "value")
     overall = long.groupBy("metric").agg(F.avg("value").alias("value")).select(
         "metric", F.lit("all").alias("qid"), "value"
     )

@@ -136,6 +136,65 @@ def random_search(
     return best_w, best, history
 
 
+def lr_labels(
+    index: IndexTables, features: DataFrame, qrels: DataFrame
+) -> DataFrame:
+    """(qid, cand, label): positive iff the candidate term occurs in ≥1
+    relevant doc of the query — the qrels-derived supervision behind the
+    reference's `lr` method (golden families evals/lr/{trec7n8,robust,
+    gov}/cnet; best Robust04 MAP 0.2541)."""
+    rel_docs = qrels.filter(F.col("rel") > 0).select("qid", "doc_id")
+    cand_terms = features.select("qid", "cand").distinct()
+    pos = (
+        index.postings_flat.select(F.col("term").alias("cand"), "doc_id")
+        .join(
+            F.broadcast(cand_terms.select("cand").distinct()), "cand"
+        )
+        .join(rel_docs, "doc_id")
+        .select("qid", "cand")
+        .distinct()
+        .withColumn("label", F.lit(1.0))
+    )
+    return cand_terms.join(pos, ["qid", "cand"], "left").fillna(
+        0.0, subset=["label"]
+    )
+
+
+def lr_weights(
+    features: DataFrame,
+    labels: DataFrame,
+    reg_param: float = 1e-3,
+    max_iter: int = 50,
+) -> Dict[str, float]:
+    """`lr` feature weighting: logistic regression (Spark ML) over the
+    per-qid sum-NORMALIZED 14-feature block; the learned coefficients
+    drop into the same normalize→combine→select tail as the
+    coordinate-ascent weights (the LR decision function is monotone in
+    w·x̃, so ranking by the linear combine reproduces the classifier's
+    ordering; the intercept cannot change ranks).
+
+    features(qid, cand, <14 features>); labels(qid, cand, label)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    w = Window.partitionBy("qid")
+    df = features.join(labels, ["qid", "cand"])
+    for f in FEATURES:
+        tot = F.sum(f).over(w)
+        df = df.withColumn(
+            f"{f}_n", F.when(tot > 0, F.col(f) / tot).otherwise(0.0)
+        )
+    assembled = VectorAssembler(
+        inputCols=[f"{f}_n" for f in FEATURES], outputCol="fvec"
+    ).transform(df)
+    model = LogisticRegression(
+        featuresCol="fvec", labelCol="label",
+        regParam=reg_param, maxIter=max_iter, standardization=True,
+    ).fit(assembled)
+    coefs = model.coefficients.toArray()
+    return {f: float(c) for f, c in zip(FEATURES, coefs)}
+
+
 def _frange(lo: float, hi: float, step: float):
     out = []
     v = lo

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,6 +144,16 @@ def build_index_checkpointed(
         done = set(man["buckets_done"])
         todo = sorted(all_buckets - done)
         if todo:
+            # Crash window: a previous run may have committed bucket=NN
+            # dirs on disk but died before recording them in the manifest.
+            # Re-appending would duplicate every posting row in those
+            # buckets (inflating df/cf and corrupting WAND reads), so any
+            # on-disk bucket not marked done is stale output — drop it
+            # before rebuilding.
+            for b in todo:
+                stale = os.path.join(postings_path, f"bucket={b}")
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
             remaining = flat.filter(F.col("bucket").isin(todo)).drop("bucket")
             t0 = time.perf_counter()
             blocked = build_blocked_postings(

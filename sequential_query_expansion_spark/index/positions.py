@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.positional import od_count_positions, uw_count_py
+from ..functions.positional import od_count_positions
 
 
 def build_positional_postings(doc_terms: DataFrame) -> DataFrame:
@@ -41,18 +41,39 @@ def build_positional_postings(doc_terms: DataFrame) -> DataFrame:
 
 
 def _uw_from_positions(pos: List[np.ndarray], n: int) -> int:
-    """Unordered-window count from position arrays: rebuild the merged
-    event stream and reuse the minimal-window kernel."""
-    events = sorted(
-        (int(p), i) for i, arr in enumerate(pos) for p in arr
-    )
-    # synthesize a token list where token == term index (hashable labels)
-    tokens = {}
-    for p, i in events:
-        tokens[p] = i
-    maxp = events[-1][0] if events else -1
-    seq = [tokens.get(i, -1) for i in range(maxp + 1)]
-    return uw_count_py(seq, list(range(len(pos))), n)
+    """Unordered-window count from per-term sorted position arrays.
+
+    Sparse: merges the position lists into one (position, term_idx) event
+    stream and slides the left-minimal-window kernel over it directly —
+    O(total occurrences) time and memory, never a dense array of length
+    max(position) (long web documents make that dense rebuild O(doc_len)
+    per candidate doc). Agrees with ``uw_count_py`` on real token streams
+    (distinct terms cannot share a position there).
+    """
+    k = len(pos)
+    if k == 0 or any(len(p) == 0 for p in pos):
+        return 0
+    events = sorted((int(p), i) for i, arr in enumerate(pos) for p in arr)
+    cnt = [0] * k
+    have = 0
+    res = 0
+    left = 0
+    for rp, rt in events:
+        cnt[rt] += 1
+        if cnt[rt] == 1:
+            have += 1
+        while have == k:
+            lp, lt = events[left]
+            if cnt[lt] > 1:
+                cnt[lt] -= 1
+                left += 1
+                continue
+            if rp - lp + 1 <= n:
+                res += 1
+            cnt[lt] -= 1
+            have -= 1
+            left += 1
+    return res
 
 
 def phrase_counts(
@@ -68,6 +89,11 @@ def phrase_counts(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    if not ordered:
+        # #uwN semantics collapse duplicate query terms to their unique
+        # set (uw_count_py does the same); joining the same term's
+        # positions twice would double-count events in the window kernel.
+        terms = list(dict.fromkeys(terms))
     parts = [
         positional.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias(f"p{i}")

@@ -274,14 +274,22 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    signatures: DataFrame, bands: int = DEFAULT_BANDS
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate (doc_a, doc_b).
 
-    Shuffle payload is (band_id, band_hash, doc_id) only. Pairs are
-    generated per bucket via a groupBy+collect of bucket members — bucket
-    sizes are bounded in expectation; a pathological bucket is capped by
-    the band hash width, and AQE skew-join is on as a backstop.
+    Shuffle payload is (band_id, band_hash, doc_id) only. Pairs come
+    from a SELF-JOIN on (band_id, band_hash) — never a groupBy+collect:
+    a degenerate bucket (mass near-identical docs) under collect_list
+    concentrates its m² pair expansion in one task and one giant array
+    row, and AQE cannot split a grouped row. The equi-join form keeps
+    the same output while letting AQE's skew-join split oversized
+    buckets across tasks. ``max_bucket`` (optional) drops buckets larger
+    than the cap — explicit recall loss for adversarial inputs; the
+    intended guard for mass EXACT duplicates is collapsing them before
+    signatures (see ``minhash_lsh_dedup``).
     """
     sig_len_row = signatures.select(F.size("sig").alias("n")).head()
     if sig_len_row is None:
@@ -301,28 +309,22 @@ def lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .filter(F.size("members") > 1)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(ok, ["band_id", "band_hash"], "left_semi")
+    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    # pairs within bucket: flatten the (i<j) cross of the member array
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "members",
-                    lambda x, i: F.transform(
-                        F.slice("members", i + 2, 1_000_000),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b").distinct()
-    return pairs
 
 
 def minhash_lsh_dedup(
@@ -334,14 +336,29 @@ def minhash_lsh_dedup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-dup pairs (doc_a, doc_b, jaccard).
 
     At threshold 0.8 with 128 hashes / 32 bands of 4 the candidate recall
     is ≈1, so the verified output matches exact ``ngram_jaccard_pairs``
     while scaling linearly in corpus size.
+
+    ``collapse_exact`` (default on) first collapses byte-identical docs
+    to their min-id representative: a mass-duplicated page (the normal
+    adversary of web dedup) would otherwise put m identical signatures
+    into every band bucket and force an m² candidate expansion that no
+    skew handling can shrink. Exact-dup groups are already the output of
+    ``exact_dedup`` — re-emitting their member×member pairs here would
+    itself be quadratic, so near-dup pairs are reported BETWEEN
+    representatives; consumers union with ``exact_dedup`` groups for
+    full lineage.
     """
     docs = ensure_parallelism(docs)
+    if collapse_exact:
+        fps = fingerprint(docs, id_col=id_col, text_col=text_col)
+        reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+        docs = docs.join(reps, id_col, "left_semi")
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
     # candidates and shingles are each consumed twice downstream —
     # persist so the signature/shingle pipelines run exactly once
@@ -355,38 +372,78 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
+# token budget per vectorized chunk: bounds the (tokens × 64) int32 vote
+# matrix at ~50 MB regardless of Arrow batch row count
+_SIMHASH_CHUNK_TOKENS = 200_000
+
+
+def _simhash_term_hash(term: str) -> int:
+    """64-bit term hash = first 16 hex chars of md5 — chosen because the
+    DuckDB oracle recomputes it exactly as
+    ('0x' || substring(md5(term), 1, 16))::UBIGINT, making the whole
+    SimHash bit-for-bit verifiable cross-engine."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long) — 64-bit SimHash over token frequencies."""
+    """(doc_id, simhash long) — 64-bit SimHash over token frequencies.
 
-    @F.pandas_udf(T.LongType())
-    def simhash_udf(token_arrays: pd.Series) -> pd.Series:
-        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    Batch-vectorized (no per-row Python over tokens): each chunk hashes
+    its UNIQUE terms once, expands per-token ±1 bit votes through the
+    unique-inverse index, and reduces per row with add.reduceat — the
+    same shape as the MinHash signature kernel. tf weighting falls out of
+    iterating tokens rather than unique terms."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
-        def one(toks):
-            if toks is None or len(toks) == 0:
-                return 0
-            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
-            counts: dict = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            for t, tf in counts.items():
-                h = np.uint64(_base_hash(t))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += tf * (2 * bits - 1)
-            fp = np.uint64(0)
-            for i in range(SIMHASH_BITS):
-                if votes[i] > 0:
-                    fp |= np.uint64(1) << np.uint64(i)
-            return int(fp.astype(np.int64))  # two's-complement into long
+    def fp_chunk(toks_list) -> np.ndarray:
+        lens = np.fromiter(
+            (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
+        )
+        fps = np.zeros(len(toks_list), dtype=np.uint64)
+        flat = [s for t in toks_list for s in t]
+        if not flat:
+            return fps.view(np.int64)
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        h = np.fromiter(
+            (_simhash_term_hash(s) for s in uniq), dtype=np.uint64,
+            count=len(uniq),
+        )
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = (2 * bits - 1)[inv]                    # (n_tokens, 64) ±1
+        nz = lens > 0
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        votes = np.add.reduceat(contrib, offsets, axis=0)
+        fp_bits = (votes > 0).astype(np.uint64)
+        fps[nz] = (fp_bits << shifts[None, :]).sum(axis=1)
+        return fps.view(np.int64)                        # two's-complement
 
-        return token_arrays.map(one)
+    def fp_fn(batches):
+        for pdf in batches:
+            toks_list = [t if t is not None else [] for t in pdf["tokens"]]
+            if not toks_list:
+                continue
+            out_parts, ids_parts = [], []
+            i = 0
+            while i < len(toks_list):
+                j, tok_budget = i, 0
+                while j < len(toks_list) and tok_budget < _SIMHASH_CHUNK_TOKENS:
+                    tok_budget += len(toks_list[j])
+                    j += 1
+                out_parts.append(fp_chunk(toks_list[i:j]))
+                ids_parts.append(pdf["doc_id"].values[i:j])
+                i = j
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_parts),
+                    "simhash": np.concatenate(out_parts),
+                }
+            )
 
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash_udf(tokenize_col(F.col(text_col))).alias("simhash"),
-    )
+        tokenize_col(F.col(text_col)).alias("tokens"),
+    ).mapInPandas(fp_fn, schema="doc_id long, simhash long")
 
 
 def simhash_pairs(
@@ -394,15 +451,24 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming — EXACT.
 
     Candidate generation by the pigeonhole trick: split the 64-bit print
-    into ``chunks`` 16-bit pieces; any pair within distance ≤ chunks-1
+    into ``chunks`` equal pieces; any pair within distance ≤ chunks-1
     agrees on ≥1 piece, so an equi-join per piece finds all candidates —
-    no cross join anywhere. Verify with bit_count(xor).
+    no cross join anywhere. Verify with bit_count(xor). ``chunks``
+    defaults to the smallest power-of-two ≥ max_hamming+1 so the
+    pigeonhole guarantee actually covers the requested radius (4 pieces
+    with max_hamming=6 would silently drop pairs at distance 4-6).
     """
+    if chunks is None:
+        chunks = 2
+        while chunks - 1 < max_hamming:
+            chunks *= 2
+    if chunks - 1 < max_hamming or SIMHASH_BITS % chunks:
+        raise ValueError(f"chunks={chunks} cannot cover max_hamming={max_hamming}")
     fp = simhash(docs, id_col, text_col)
     width = SIMHASH_BITS // chunks
     pieces_arr = F.array(

@@ -82,13 +82,36 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def bucket_code_col(vec_col, planes: np.ndarray):
+def hyperplanes_md5pm1(dim: int, n_planes: int = 12) -> np.ndarray:
+    """±1 random-projection planes derived from md5 parity:
+    w[j, d] = +1 iff the first hex digit of md5(f"{j}:{d}") is odd.
+
+    A ±1 family is a standard sign-random-projection LSH; deriving it
+    from md5 makes the bucketing recomputable in ANSI SQL
+    (('0x' || substring(md5(j || ':' || d), 1, 1))::INT % 2), which is
+    what gives the LSH contract entry a value-level DuckDB oracle."""
+    import hashlib
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(dim):
+            bit = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) & 1
+            w[j, d] = 1.0 if bit else -1.0
+    return w
+
+
+def bucket_code_col(vec_col, planes: np.ndarray, score_round: int | None = None):
     """Sign-pattern bucket code as a long column — built-ins only:
-    code = Σ_i [dot(vec, plane_i) > 0] << i."""
+    code = Σ_i [dot(vec, plane_i) > 0] << i. ``score_round`` rounds each
+    dot product before the sign test so a cross-engine oracle whose
+    summation order differs cannot flip a near-zero sign."""
     code = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        code = code + F.when(_dot(vec_col, lit_plane) > 0, F.lit(1 << i)).otherwise(0)
+        d = _dot(vec_col, lit_plane)
+        if score_round is not None:
+            d = F.round(d, score_round)
+        code = code + F.when(d > 0, F.lit(1 << i)).otherwise(0)
     return code
 
 
@@ -96,8 +119,11 @@ def with_bucket(
     embeddings: DataFrame,
     planes: np.ndarray,
     vec_col: str = "embedding",
+    score_round: int | None = None,
 ) -> DataFrame:
-    return embeddings.withColumn("bucket", bucket_code_col(F.col(vec_col), planes))
+    return embeddings.withColumn(
+        "bucket", bucket_code_col(F.col(vec_col), planes, score_round)
+    )
 
 
 def _neighbor_codes(code: int, n_planes: int, probe_bits: int) -> list:
@@ -123,16 +149,26 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    planes: np.ndarray | None = None,
+    score_round: int | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose bucket is within
-    ``probe_bits`` sign flips of the probe's bucket (multi-probe LSH)."""
-    dim = len(embeddings.select(vec_col).head()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    ``probe_bits`` sign flips of the probe's bucket (multi-probe LSH).
+
+    Pass ``planes`` (e.g. ``hyperplanes_md5pm1``) + ``score_round`` +
+    ``rank_round`` to make the whole computation reproducible in a SQL
+    oracle; default planes are seeded Gaussian."""
+    if planes is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+        planes = hyperplanes(dim, n_planes, seed)
+    n_planes = len(planes)
 
     base = with_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
         planes,
         "vec",
+        score_round,
     )
     p = with_bucket(
         probes.select(
@@ -140,6 +176,7 @@ def cosine_topk_lsh(
         ),
         planes,
         "p_vec",
+        score_round,
     )
     n_codes = F.udf(
         lambda c: _neighbor_codes(c, n_planes, probe_bits), "array<long>"
@@ -152,7 +189,10 @@ def cosine_topk_lsh(
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", cosine_similarity_col(F.col("p_vec"), F.col("vec")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    sort_cos = (
+        F.round("cos", rank_round) if rank_round is not None else F.col("cos")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc(sort_cos), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -194,25 +234,31 @@ def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 42) -> np.ndarray
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _centroid_scores(vec_col, centroids: np.ndarray):
+def _centroid_scores(vec_col, centroids: np.ndarray,
+                     score_round: int | None = None):
     """array<struct<s double, i int>> of dot products per centroid."""
     entries = []
     for i, c in enumerate(centroids):
         lit_c = F.array(*[F.lit(float(x)) for x in c])
-        entries.append(
-            F.struct(_dot(vec_col, lit_c).alias("s"), F.lit(i).alias("i"))
-        )
+        s = _dot(vec_col, lit_c)
+        if score_round is not None:
+            s = F.round(s, score_round)
+        entries.append(F.struct(s.alias("s"), F.lit(i).alias("i")))
     return F.array(*entries)
 
 
 def with_ivf_bucket(
-    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "vec"
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "vec",
+    score_round: int | None = None,
 ) -> DataFrame:
     """bucket = argmax_i dot(v, centroid_i) — struct array_max compares
-    by score first, so the max struct carries the winning index."""
+    by score first, so the max struct carries the winning index (ties →
+    highest index; the SQL oracle orders (s DESC, i DESC) to match)."""
     return embeddings.withColumn(
         "bucket",
-        F.array_max(_centroid_scores(F.col(vec_col), centroids)).getField("i"),
+        F.array_max(
+            _centroid_scores(F.col(vec_col), centroids, score_round)
+        ).getField("i"),
     )
 
 
@@ -226,23 +272,37 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    centroids: np.ndarray | None = None,
+    score_round: int | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan side is assigned to its nearest centroid
     once (write-time partitioning at scale → partition pruning); each
-    probe searches its ``nprobe`` nearest centroid lists."""
-    dim = len(embeddings.select(vec_col).head()[0])
-    cents = ivf_centroids(dim, n_centroids, seed)
+    probe searches its ``nprobe`` nearest centroid lists.
+
+    Pass ``centroids`` (e.g. fixed rows of the table itself — a
+    deterministic "sample codebook" the SQL oracle can reconstruct) +
+    ``score_round``/``rank_round`` for cross-engine value checks; a
+    trained k-means codebook drops into the same parameter."""
+    if centroids is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+        centroids = ivf_centroids(dim, n_centroids, seed)
 
     base = with_ivf_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
-        cents,
+        centroids,
+        score_round=score_round,
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
     ).withColumn(
         "buckets",
         F.slice(
-            F.reverse(F.array_sort(_centroid_scores(F.col("p_vec"), cents))),
+            F.reverse(
+                F.array_sort(
+                    _centroid_scores(F.col("p_vec"), centroids, score_round)
+                )
+            ),
             1,
             nprobe,
         ),
@@ -254,7 +314,10 @@ def cosine_topk_ivf(
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", cosine_similarity_col(F.col("p_vec"), F.col("vec")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    sort_cos = (
+        F.round("cos", rank_round) if rank_round is not None else F.col("cos")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc(sort_cos), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

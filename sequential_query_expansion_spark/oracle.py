@@ -103,6 +103,55 @@ def bm25_topk(
     return ranked[:k]
 
 
+def phrase_weighted_topk(
+    index: OracleIndex,
+    doc_tokens: Dict[int, List[str]],
+    term_clauses: Sequence[Tuple[str, str, float]],
+    phrase_clauses: Sequence[Tuple[str, str, List[str], int, bool, float]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> Dict[str, List[Tuple[int, float]]]:
+    """Oracle for the reference's structured concept scoring
+    `#weight(0.8 #combine(name) 0.1 #combine(#odN ..) 0.1 #uwN(name))`
+    (umls/umlsSeqPubMed.ipynb:555-633): phrase clauses are pseudo-terms
+    with tf = window match count, df = docs with ≥1 match.
+
+    term_clauses: (qid, term, weight); phrase_clauses:
+    (qid, clause_id, terms, n, ordered, weight). Returns
+    {qid: [(doc_id, score)] top-k, (score desc, doc_id asc)}."""
+    from .functions.positional import od_count_py, uw_count_py
+
+    scores: Dict[Tuple[str, int], float] = defaultdict(float)
+    for qid, term, w in term_clauses:
+        plist = index.postings.get(term)
+        if not plist:
+            continue
+        df = len(plist)
+        for doc_id, tf in plist.items():
+            scores[(qid, doc_id)] += w * bm25_term(
+                tf, index.doc_len[doc_id], index.avgdl, index.n_docs, df, k1, b
+            )
+    for qid, _cid, terms, n, ordered, w in phrase_clauses:
+        counts: Dict[int, int] = {}
+        for doc_id, toks in doc_tokens.items():
+            c = (od_count_py if ordered else uw_count_py)(toks, terms, n)
+            if c > 0:
+                counts[doc_id] = c
+        df = len(counts)
+        for doc_id, tf in counts.items():
+            scores[(qid, doc_id)] += w * bm25_term(
+                tf, index.doc_len[doc_id], index.avgdl, index.n_docs, df, k1, b
+            )
+    by_qid: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
+    for (qid, doc_id), s in scores.items():
+        by_qid[qid].append((doc_id, s))
+    return {
+        qid: sorted(docs, key=lambda x: (-x[1], x[0]))[:k]
+        for qid, docs in by_qid.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # RM1 / RM3 pseudo-relevance feedback
 # ---------------------------------------------------------------------------

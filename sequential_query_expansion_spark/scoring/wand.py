@@ -78,8 +78,11 @@ def _wand_kernel(pdf: pd.DataFrame, k: int, n_docs: int, avgdl: float,
     iv_bound = np.cumsum(diff[:-1])
 
     # blocks overlapping each interval, via sorted events (vectorized setup,
-    # per-interval python only at block granularity)
-    order = np.argsort(iv_bound)[::-1]
+    # per-interval python only at block granularity). Equal-bound intervals
+    # are visited in ascending doc order so the scan is deterministic; the
+    # prune below must NOT fire on bound == theta (a tied doc with a smaller
+    # doc_id in a later equal-bound interval would beat the current k-th).
+    order = np.lexsort((bounds_pts[:-1], -iv_bound))
 
     heap: list = []          # (score, -doc_id) min-heap of current top-k
     theta = -np.inf
@@ -114,7 +117,10 @@ def _wand_kernel(pdf: pd.DataFrame, k: int, n_docs: int, avgdl: float,
 
     for iv in order:
         bound = iv_bound[iv]
-        if len(heap) >= k and bound <= theta:
+        # strict <: an interval whose bound EQUALS theta can still hold a doc
+        # scoring exactly theta with a smaller doc_id, which wins the
+        # (score desc, doc_id asc) tie-break and must be scanned
+        if len(heap) >= k and bound < theta:
             break            # bound-descending order → all remaining pruned
         lo, hi = bounds_pts[iv], bounds_pts[iv + 1] - 1
         parts_d, parts_c = [], []

@@ -78,7 +78,10 @@ def write_trec_run(results: DataFrame, path: str, tag: str = "sqe-spark") -> Non
                 F.lit("Q0"),
                 F.col(name_col),
                 F.col("rank").cast("string"),
-                F.format_number(F.col("score"), 6),
+                # format_string, NOT format_number: format_number inserts
+                # locale grouping separators ("1,234.567890") for scores
+                # >= 1000, which trec_eval's atof truncates at the comma.
+                F.format_string("%.6f", F.col("score")),
                 F.lit(tag),
             ).alias("value")
         )

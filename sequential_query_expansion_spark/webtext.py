@@ -92,6 +92,19 @@ def doc_index(spark: SparkSession, sf_dir: str, blocked: bool = False) -> IndexT
     return idx
 
 
+def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized positional postings (term, doc_id, positions) over the
+    documents table — shared by the phrase-counting and phrase-scoring
+    contract entries so they reuse one build."""
+    key = (sf_dir, "positional", id(spark))
+    if key not in _INDEX_CACHE:
+        from .index.positions import build_positional_postings
+
+        idx = doc_index(spark, sf_dir)
+        _INDEX_CACHE[key] = build_positional_postings(idx.doc_terms).persist()
+    return _INDEX_CACHE[key]
+
+
 def pseudo_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relevance labels: a doc is relevant (rel=1) to qid iff
     its token set contains EVERY query term; rel=2 if additionally each

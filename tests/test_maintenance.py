@@ -1,0 +1,103 @@
+"""S14 delete + compact maintenance: tombstoned/compacted index must be
+rank-identical to a fresh build over the surviving docs (the
+`dumpindex` repository compact/delete analogue, occuranceCount.cpp:
+700-723, as Iceberg-style delete-then-rewrite)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sequential_query_expansion_spark.index.build import build_index_from_docs
+from sequential_query_expansion_spark.index.checkpoint import (
+    build_index_checkpointed,
+)
+from sequential_query_expansion_spark.index import maintenance as mt
+from sequential_query_expansion_spark.scoring.bm25 import score_topk
+from sequential_query_expansion_spark.scoring.wand import wand_topk
+
+DELETED = list(range(0, 60, 3))        # every 3rd of the first 60 ids
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, tiny_corpus):
+    pages = tiny_corpus.pages.sort_values("url").reset_index(drop=True)
+    rows = [(i, t) for i, t in enumerate(pages.text.tolist())]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+@pytest.fixture(scope="module")
+def built_dir(spark, docs_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("maint") / "idx")
+    build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                             num_buckets=8)
+    mt.delete_docs(spark, out, DELETED)
+    return out
+
+
+@pytest.fixture(scope="module")
+def fresh_kept(spark, docs_df):
+    kept = docs_df.filter(~F.col("doc_id").isin(DELETED))
+    return build_index_from_docs(kept, build_blocked=True, salt_ranges=4)
+
+
+@pytest.fixture(scope="module")
+def qt(spark, tiny_corpus):
+    from sequential_query_expansion_spark.scoring.bm25 import query_term_table
+
+    return query_term_table(spark.createDataFrame(tiny_corpus.queries)).persist()
+
+
+def _runs_equal(a, b):
+    a = a.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert list(a.qid) == list(b.qid)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert np.allclose(a.score, b.score, atol=1e-9)
+
+
+def test_live_tombstoned_index_matches_fresh_build(spark, built_dir, fresh_kept, qt):
+    """Flat-path queries served BETWEEN delete and compact are exact:
+    stats/df recomputed from surviving rows."""
+    live = mt.load_index_live(spark, built_dir)
+    assert live.n_docs == fresh_kept.n_docs
+    assert abs(live.avgdl - fresh_kept.avgdl) < 1e-9
+    got = score_topk(live, qt, k=10, rank_round=9).toPandas()
+    want = score_topk(fresh_kept, qt, k=10, rank_round=9).toPandas()
+    _runs_equal(got, want)
+    assert not set(got.doc_id) & set(DELETED)
+
+
+def test_compact_restores_wand_rank_identity(spark, built_dir, fresh_kept, qt):
+    """After compaction the blocked/WAND path is sound again (block-max
+    metadata re-encoded with the refreshed collection stats)."""
+    idx = mt.compact_index(spark, built_dir)
+    assert mt.tombstones(spark, built_dir) is None
+    assert idx.n_docs == fresh_kept.n_docs
+    got = wand_topk(idx, qt, k=10, salt_ranges=4, rank_round=9).toPandas()
+    want = score_topk(fresh_kept, qt, k=10, rank_round=9).toPandas()
+    _runs_equal(
+        got[["qid", "doc_id", "rank", "score"]],
+        want[["qid", "doc_id", "rank", "score"]],
+    )
+    # resume machinery still intact: a further load sees a complete index
+    re = mt.load_index_live(spark, built_dir)
+    assert re.n_docs == fresh_kept.n_docs
+
+
+def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
+    """No tombstones → pure small-file compaction (one file per bucket)."""
+    out = str(tmp_path_factory.mktemp("maint2") / "idx")
+    build_index_checkpointed(spark, docs_df.repartition(8), out,
+                             salt_ranges=4, num_buckets=4)
+    before = len(glob.glob(os.path.join(out, "postings_flat", "*", "*.parquet")))
+    mt.compact_index(spark, out)
+    after = len(glob.glob(os.path.join(out, "postings_flat", "*", "*.parquet")))
+    assert after <= before
+    assert after == len(glob.glob(os.path.join(out, "postings_flat", "bucket=*")))
+    after_idx = mt.load_index_live(spark, out)
+    assert after_idx.n_docs == docs_df.count()

@@ -49,6 +49,35 @@ def test_wand_k1_matches(spark, index_tables, queries_df):
     assert list(ma.doc_id) == list(mb.doc_id)
 
 
+def test_wand_duplicate_doc_ties(spark):
+    """Regression: 20 identical docs → all candidates tie at the exact
+    same BM25 score. The (score desc, doc_id asc) contract requires the
+    SMALLEST doc_ids in the top-k; the old prune (`bound <= theta`)
+    stopped before scanning tied-bound intervals and returned the largest
+    ones instead."""
+    from sequential_query_expansion_spark.index.build import build_index
+
+    pages = spark.createDataFrame(
+        [(f"http://d{i:02d}.example/", "alpha beta gamma alpha") for i in range(20)],
+        "url string, text string",
+    )
+    idx = build_index(pages, build_blocked=True, salt_ranges=4)
+    qt = spark.createDataFrame(
+        [("q1", "alpha", 1.0)], "qid string, term string, weight double"
+    )
+    k = 5
+    a = (
+        score_topk(idx, qt, k=k, rank_round=9)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    b = (
+        wand.wand_topk(idx, qt, k=k, salt_ranges=4, rank_round=9)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(b.doc_id) == list(a.doc_id) == sorted(a.doc_id)
+    assert np.allclose(a.score, b.score, atol=1e-12)
+
+
 def test_kernel_prunes_blocks(index_tables):
     """Drive the kernel directly on a stopword-heavy group and check it
     decodes fewer blocks than exist (block-max skipping engaged)."""
