@@ -126,7 +126,9 @@ def run_suite(out_path: str | None = None) -> dict:
 
     bench("bm25_topk_batch", dc.q_bm25_topk)
     bench("rm3_topk_batch", dc.q_bm25_rm3_topk)
+    bench("phrase_topk_batch", dc.q_phrase_weighted_topk)
     bench("minhash_dedup", dc.q_minhash_dedup)
+    bench("simhash_pairs", dc.q_simhash_pairs)
     bench("cosine_topk", dc.q_cosine_topk)
     bench("eval_metrics", dc.q_eval_metrics)
 
@@ -161,10 +163,18 @@ def run_scaling() -> None:
     this is the faithful local simulation of a cluster of N vs 4N
     executors — without pinning, the small run's JVM/python helper
     threads spill onto the idle cores and the baseline is unfairly fast.
+
+    Each level is measured SPARK_GRAFT_SCALE_REPEATS times (default 2)
+    and the BEST throughput is kept: the max is the standard
+    noise-robust estimator for a deterministic workload — observed
+    back-to-back runs of the 2-core baseline differ by ~20% with
+    machine state (turbo/cache residency), which alone can swing the
+    efficiency ratio across the 0.8 line.
     """
     import shutil
 
     base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     levels = [base, base * 4]
     if base * 16 <= (os.cpu_count() or base * 4):
         levels.append(base * 16)  # extra point: shows the box's ceiling
@@ -178,19 +188,24 @@ def run_scaling() -> None:
             # pin the JVM + python workers to exactly `cpus` cores: the
             # faithful local simulation of an N-executor cluster
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=1800,
-        )
-        json_lines = [
-            l for l in out.stdout.strip().splitlines() if l.startswith("{")
-        ]
-        if out.returncode != 0 or not json_lines:
-            raise RuntimeError(
-                f"scaling child at {cpus} cores failed "
-                f"(rc={out.returncode}); stderr tail:\n"
-                + "\n".join(out.stderr.strip().splitlines()[-20:])
+        best = None
+        for _ in range(max(1, repeats)):
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=1800,
             )
-        results[cpus] = json.loads(json_lines[-1])
+            json_lines = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ]
+            if out.returncode != 0 or not json_lines:
+                raise RuntimeError(
+                    f"scaling child at {cpus} cores failed "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.strip().splitlines()[-20:])
+                )
+            got = json.loads(json_lines[-1])
+            if best is None or got["docs_per_sec"] > best["docs_per_sec"]:
+                best = got
+        results[cpus] = best
     tp_n = results[base]["docs_per_sec"]
     tp_4n = results[base * 4]["docs_per_sec"]
     eff = tp_4n / (4.0 * tp_n)

@@ -52,19 +52,33 @@ def _seed_hash(i: int) -> str:
     return hashlib.sha1(f"page-{i}".encode()).hexdigest()[:10]
 
 
+NAV_TOKENS = ["home", "about", "contact", "privacy", "terms", "copyright"]
+
+
 def make_corpus(
     n_docs: int = 1000,
     n_queries: int = 20,
     seed: int = 42,
     vocab_size: int = VOCAB_SIZE,
     hard_fraction: float = 0.0,
+    cc_realism: float = 0.0,
 ) -> SyntheticCorpus:
     """``hard_fraction`` > 0 marks that fraction of queries "hard" (the
     reference's premise): half of a hard query's relevant docs contain
     the query terms + related concepts, the other half ONLY the related
     concepts — unexpanded BM25 cannot reach them; graph/PRF expansion
     can. Default 0.0 keeps the original (rank-identity-test) corpus
-    byte-identical."""
+    byte-identical.
+
+    ``cc_realism`` > 0 makes that fraction of pages Common-Crawl-shaped:
+    language-profile stopwords injected so the labeled ``lang`` is
+    recoverable from content (langid becomes non-trivial), nav/footer
+    boilerplate present in BOTH html and extracted text (as real
+    extraction leaves it), and script/style/comment junk present ONLY in
+    the html (extract_text must strip it). The per-row north_rule
+    invariant text == extract_text(html) holds by construction in both
+    modes. Default 0.0 keeps every byte identical to the original
+    generator."""
     rng = np.random.default_rng(seed)
     vocab = np.asarray(vocabulary(vocab_size), dtype=object)
     probs = _zipf_probs(vocab_size)
@@ -143,13 +157,39 @@ def make_corpus(
             if r % 17 == 0:
                 w = w + punct_cycle[(i + j) % len(punct_cycle)]
             noisy.append(w)
-        text = " ".join(noisy)
-        html = (
-            f"<html><head><title>t{i}</title>"
-            f"<script>var x={i};</script></head>"
-            f"<body><p>{text}</p></body></html>"
-        ).encode()
         lang = "en" if (i % 20) != 0 else ("de" if (i % 40) == 0 else "fr")
+        realistic = cc_realism > 0 and (i % 100) < int(cc_realism * 100)
+        if realistic:
+            # language-profile stopwords → langid can recover `lang`
+            from .operators.text_analysis import LANG_STOPWORDS
+
+            sw = LANG_STOPWORDS[lang]
+            sw_reps = [sw[(i + j) % len(sw)] for j in range(max(3, len(toks) // 8))]
+            pos = rng.integers(0, len(noisy) + 1, size=len(sw_reps))
+            for p, t in zip(sorted(pos, reverse=True), sw_reps):
+                noisy.insert(int(p), t)
+            nav = " ".join(NAV_TOKENS[(i % 3):(i % 3) + 3])
+            body_text = nav + " " + " ".join(noisy) + " " + NAV_TOKENS[i % 6]
+        else:
+            body_text = " ".join(noisy)
+        text = body_text
+        if realistic:
+            # junk that extract_text must STRIP (head/script/style/comments)
+            html = (
+                f"<html><head><title>t{i}</title>"
+                f'<meta name="generator" content="cms-{i % 7}"/>'
+                f"<style>.x{i % 5}{{color:#000}}</style>"
+                f"<script>var x={i};trk('{_seed_hash(i)}');</script></head>"
+                f'<body><nav class="m">{nav}</nav>'
+                f"<!-- cached {i} --><p>{' '.join(noisy)}</p>"
+                f"<footer>{NAV_TOKENS[i % 6]}</footer></body></html>"
+            ).encode()
+        else:
+            html = (
+                f"<html><head><title>t{i}</title>"
+                f"<script>var x={i};</script></head>"
+                f"<body><p>{text}</p></body></html>"
+            ).encode()
         rows.append(
             {
                 "url": f"https://example.org/{_seed_hash(i)}/page-{i}",

@@ -66,6 +66,37 @@ def test_default_corpus_unchanged_by_hard_mode():
     (rank-identity tests elsewhere depend on the default generator)."""
     a = make_corpus(n_docs=120, n_queries=6, seed=42)
     b = make_corpus(n_docs=120, n_queries=6, seed=42, hard_fraction=0.0)
-    assert a.pages.equals(b.pages)
+    c = make_corpus(n_docs=120, n_queries=6, seed=42, cc_realism=0.0)
+    assert a.pages.equals(b.pages) and a.pages.equals(c.pages)
     assert a.graph_edges.equals(b.graph_edges)
     assert not a.hard_qids
+
+
+def test_cc_realism_keeps_extraction_invariant():
+    """cc_realism pages carry script/style/comment junk in html ONLY —
+    the north_rule per-row invariant text == extract_text(html) must
+    still hold byte-for-byte."""
+    from sequential_query_expansion_spark.functions.text import extract_text_py
+
+    c = make_corpus(n_docs=150, n_queries=4, seed=9, cc_realism=0.5)
+    realistic = 0
+    for _, row in c.pages.iterrows():
+        assert extract_text_py(row.html) == row.text, row.url
+        if b"<nav" in row.html:
+            realistic += 1
+    assert realistic >= 50
+
+
+def test_cc_realism_makes_langid_recoverable(spark):
+    """On realistic pages the labeled lang must be recoverable from
+    content by the langid operator (majority accuracy)."""
+    from sequential_query_expansion_spark.operators.text_analysis import langid
+
+    c = make_corpus(n_docs=200, n_queries=4, seed=9, cc_realism=1.0)
+    docs = spark.createDataFrame(
+        c.pages.assign(doc_id=range(len(c.pages)))[["doc_id", "text", "lang"]]
+    )
+    pred = langid(docs).toPandas().set_index("doc_id").lang_pred
+    truth = c.pages.lang.reset_index(drop=True)
+    acc = (pred.sort_index().values == truth.values).mean()
+    assert acc >= 0.9, acc
