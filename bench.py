@@ -90,14 +90,19 @@ def run_suite(out_path: str | None = None) -> dict:
     qt_all = query_term_table(queries).persist()
     qt_all.count()
 
-    # warm-up (JVM/codegen) then per-query latency
-    score_topk(idx, qt_all, k=10).count()
+    # per-query latency through the serving path: same rank-identical
+    # plan, exchanges sized for point queries (see scoring/service.py —
+    # single-query latency on local mode is scheduling-bound)
+    from sequential_query_expansion_spark.scoring.service import QueryService
+
+    svc = QueryService(spark, idx)                 # warms codegen too
     per_q = []
     for qid in sorted(webtext.WEB_QUERIES):
         qt = qt_all.filter(qt_all.qid == qid)
         t0 = time.perf_counter()
-        score_topk(idx, qt, k=10).count()
+        out = svc.topk(qt, k=10)
         per_q.append(time.perf_counter() - t0)
+        out.unpersist()
     timings["bm25_p50"] = round(statistics.median(per_q), 3)
     timings["bm25_p99"] = round(
         sorted(per_q)[max(0, int(len(per_q) * 0.99) - 1)], 3
@@ -112,8 +117,9 @@ def run_suite(out_path: str | None = None) -> dict:
     for qid in sorted(webtext.WEB_QUERIES):
         qt = qt_all.filter(qt_all.qid == qid)
         t0 = time.perf_counter()
-        rm3_topk(idx, qt, k=10).count()
+        out = svc.rm3_topk(qt, k=10)
         per_q_x.append(time.perf_counter() - t0)
+        out.unpersist()
     timings["rm3_p50"] = round(statistics.median(per_q_x), 3)
     timings["rm3_p99"] = round(
         sorted(per_q_x)[max(0, int(len(per_q_x) * 0.99) - 1)], 3

@@ -63,6 +63,10 @@ class IndexTables:
     postings: DataFrame | None  # blocked (built lazily)
     n_docs: int
     avgdl: float
+    # positional postings (term, doc_id, positions array<int>) — persisted
+    # as a checkpoint stage; None until built (Indri stores positions in
+    # its inverted file, occuranceCount.cpp:310-351)
+    positional: DataFrame | None = None
 
     def idf_col(self, df_col):
         return F.log(F.lit(1.0) + (F.lit(self.n_docs) - df_col + 0.5) / (df_col + 0.5))

@@ -88,10 +88,17 @@ def build_index_checkpointed(
     out_dir: str,
     salt_ranges: int = 8,
     num_buckets: int = NUM_BUCKETS,
+    with_positions: bool = False,
 ) -> IndexTables:
     """docs(doc_id, text) -> IndexTables, all stages checkpointed under
     ``out_dir``; safe to re-invoke after a crash — finished stages and
-    finished postings buckets are never recomputed."""
+    finished postings buckets are never recomputed.
+
+    ``with_positions`` additionally persists the positional postings
+    (term, doc_id, positions) as a bucketed stage — Indri keeps
+    positions in its inverted file (occuranceCount.cpp:310-351); with
+    this stage #odN/#uwN phrase queries run off the STORED index instead
+    of re-tokenizing the corpus."""
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir)
 
@@ -177,6 +184,24 @@ def build_index_checkpointed(
             _save_manifest(out_dir, man)
         mark_stage("blocked")
 
+    if with_positions and not stage_done("positional"):
+        from ..functions.text import tokenize_col
+        from .positions import build_positional_postings
+
+        doc_terms = docs.select(
+            "doc_id", tokenize_col(F.col("text")).alias("tokens")
+        )
+        pos = build_positional_postings(doc_terms).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        pos_path = os.path.join(out_dir, "positional")
+        pos.write.mode("overwrite").partitionBy("bucket").parquet(pos_path)
+        _append_metrics(
+            spark, out_dir, "positional",
+            _partition_metrics(spark.read.parquet(pos_path)),
+        )
+        mark_stage("positional")
+
     return load_index(spark, out_dir)
 
 
@@ -184,6 +209,12 @@ def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     flat = spark.read.parquet(os.path.join(out_dir, "postings_flat")).drop("bucket")
+    pos_path = os.path.join(out_dir, "positional")
+    positional = (
+        spark.read.parquet(pos_path).drop("bucket")
+        if os.path.isdir(pos_path)
+        else None
+    )
     return IndexTables(
         docmap=spark.read.parquet(os.path.join(out_dir, "docmap")),
         doc_terms=None,
@@ -193,6 +224,7 @@ def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
+        positional=positional,
     )
 
 

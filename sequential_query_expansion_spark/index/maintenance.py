@@ -97,6 +97,11 @@ def load_index_live(spark: SparkSession, out_dir: str) -> IndexTables:
         postings=None,
         n_docs=int(stats["n"] or 0),
         avgdl=float(stats["avgdl"] or 0.0),
+        positional=(
+            idx.positional.join(tomb, "doc_id", "left_anti")
+            if idx.positional is not None
+            else None
+        ),
     )
 
 
@@ -148,6 +153,32 @@ def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
             "partition_id int, rows long",
         ),
     )
+    # positional stage (if built): same bucket-pruned rewrite
+    pos_root = os.path.join(out_dir, "positional")
+    if os.path.isdir(pos_root):
+        if tomb is not None:
+            pos_affected = sorted(
+                r["bucket"]
+                for r in spark.read.parquet(pos_root)
+                .join(F.broadcast(tomb), "doc_id", "left_semi")
+                .select("bucket").distinct().collect()
+            )
+        else:
+            pos_affected = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(pos_root)
+                if d.startswith("bucket=")
+            )
+        for b in pos_affected:
+            part = os.path.join(pos_root, f"bucket={b}")
+            kept = spark.read.parquet(part)
+            if tomb is not None:
+                kept = kept.join(F.broadcast(tomb), "doc_id", "left_anti")
+            tmp = part + ".compact.tmp"
+            kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part)
+            os.replace(tmp, part)
+
     if tomb is not None:
         # doc tables
         for name in ("docmap", "doc_len"):

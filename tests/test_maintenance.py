@@ -89,6 +89,48 @@ def test_compact_restores_wand_rank_identity(spark, built_dir, fresh_kept, qt):
     assert re.n_docs == fresh_kept.n_docs
 
 
+def test_stored_positional_stage_and_maintenance(spark, docs_df, tmp_path_factory):
+    """with_positions=True persists the positional postings as a
+    checkpoint stage; phrase queries off the STORED index must equal the
+    freshly-built table, and delete+compact must purge deleted docs from
+    it."""
+    from pyspark.sql import functions as F
+    from sequential_query_expansion_spark.functions.text import tokenize_col
+    from sequential_query_expansion_spark.index.positions import (
+        build_positional_postings,
+        phrase_counts,
+    )
+
+    out = str(tmp_path_factory.mktemp("maintp") / "idx")
+    idx = build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                                   num_buckets=8, with_positions=True)
+    assert idx.positional is not None
+
+    fresh = build_positional_postings(
+        docs_df.select("doc_id", tokenize_col(F.col("text")).alias("tokens"))
+    )
+    pair = ["term00000", "term00001"]
+    a = phrase_counts(idx.positional, pair, 4).toPandas().sort_values("doc_id")
+    b = phrase_counts(fresh, pair, 4).toPandas().sort_values("doc_id")
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.matches) == list(b.matches)
+
+    # resume skips the stage (no rebuild): call again, still loadable
+    idx2 = build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                                    num_buckets=8, with_positions=True)
+    assert idx2.positional is not None
+
+    mt.delete_docs(spark, out, DELETED)
+    live = mt.load_index_live(spark, out)
+    live_docs = {r["doc_id"] for r in
+                 phrase_counts(live.positional, pair, 4).collect()}
+    assert not live_docs & set(DELETED)
+    idx3 = mt.compact_index(spark, out)
+    comp_docs = {r["doc_id"] for r in
+                 phrase_counts(idx3.positional, pair, 4).collect()}
+    assert comp_docs == {d for d in b.doc_id if d not in DELETED}
+
+
 def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
     """No tombstones → pure small-file compaction (one file per bucket)."""
     out = str(tmp_path_factory.mktemp("maint2") / "idx")
