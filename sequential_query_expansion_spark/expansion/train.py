@@ -195,6 +195,43 @@ def lr_weights(
     return {f: float(c) for f, c in zip(FEATURES, coefs)}
 
 
+def save_trained_weights(path: str, weights: Dict[str, float], best_map: float,
+                         history: list, meta: Dict | None = None) -> None:
+    """Persist an ascent run the way the reference checks in
+    coordinateAscent/steps.txt: every (feature, tried_value, map) step
+    plus the final weights, as JSON."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "weights": weights,
+                "best_map": best_map,
+                "steps": [
+                    {"feature": f_, "value": v, "map": m} for f_, v, m in history
+                ],
+                "meta": meta or {},
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
+def load_trained_weights(path: str) -> Dict[str, float]:
+    """Load a checked-in weight table (coordinateAscent/steps.txt
+    analogue); validates that every expected feature is present."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    w = data["weights"]
+    missing = set(FEATURES) - set(w)
+    if missing:
+        raise ValueError(f"weight table missing features: {sorted(missing)}")
+    return {f_: float(w[f_]) for f_ in FEATURES}
+
+
 def _frange(lo: float, hi: float, step: float):
     out = []
     v = lo

@@ -57,6 +57,25 @@ def test_lr_beats_uniform_on_held_out(spark, setup):
     assert m_trained >= m_uniform, (m_trained, m_uniform)
 
 
+def test_trained_weights_artifact_loads():
+    """The checked-in coordinate-ascent run (the reference's
+    coordinateAscent/steps.txt analogue) must load and carry every
+    feature plus a non-empty step history."""
+    import json
+    from pathlib import Path
+
+    from sequential_query_expansion_spark.expansion.train import (
+        load_trained_weights,
+    )
+
+    path = Path(__file__).parents[1] / "artifacts" / "coordinate_ascent_steps.json"
+    w = load_trained_weights(str(path))
+    assert set(w) == set(cg.FEATURES)
+    data = json.loads(path.read_text())
+    assert len(data["steps"]) >= len(cg.FEATURES)
+    assert data["best_map"] >= max(0.0, data["steps"][0]["map"])
+
+
 def test_lr_labels_shape(spark, setup):
     idx, qt, qrels, feats = setup
     lab = lr_labels(idx, feats, qrels)
