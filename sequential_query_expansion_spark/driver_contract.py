@@ -494,6 +494,34 @@ def q_phrase_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uw_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 `#uwN(a b)` unordered-window counts from the positional
+    postings (2-term case: count = consecutive events of differing terms
+    within span ≤ N in the merged position stream, which is what the
+    DuckDB oracle recomputes with lag())."""
+    from .index.positions import phrase_counts
+    from .webtext import positional_index
+
+    positional = positional_index(spark, sf_dir)
+    parts = []
+    for a, b in OD_PAIRS:
+        m = phrase_counts(positional, [a, b], UW2_N, ordered=False)
+        agg = m.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("matches"), F.lit(0)).cast("long").alias("total_matches"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(a).alias("a"), F.lit(b).alias("b"),
+                "n_docs", "total_matches",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 point lookups (dt/dd by id)."""
     return load_documents(spark, sf_dir).filter(
@@ -1049,6 +1077,32 @@ FROM (
     # the positional-postings path must produce identical counts
     sql["od_bigram_postings"] = sql["od_bigram_counts"]
 
+    uw_parts = []
+    for a, b in OD_PAIRS:
+        uw_parts.append(f"""
+SELECT '{a}' AS a, '{b}' AS b,
+       sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(c)::BIGINT AS total_matches
+FROM (
+  SELECT doc_id, count(*) FILTER (WHERE tid <> ptid AND pos - ppos + 1 <= {UW2_N}) AS c
+  FROM (
+    SELECT doc_id, pos, tid,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos,
+           lag(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS ptid
+    FROM (
+      SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                        j -> toks[j] = '{a}')) AS pos, 0 AS tid
+      FROM doctoks
+      UNION ALL
+      SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                        j -> toks[j] = '{b}')) AS pos, 1 AS tid
+      FROM doctoks))
+  GROUP BY doc_id)
+""")
+    sql["uw_pair_counts"] = (
+        f"WITH {_BASE}\n" + "\nUNION ALL\n".join(uw_parts)
+    )
+
     # phrase-clause scoring: each 2-term concept qid scores as
     #   0.4·BM25(a) + 0.4·BM25(b)            (#combine(name), w=0.8)
     # + 0.1·BM25(tf=#od4 count, df=od docs)  (#combine(#od4(a b)))
@@ -1278,6 +1332,7 @@ SPARK_QUERIES = {
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,
     "od_bigram_postings": q_od_bigram_postings,
+    "uw_pair_counts": q_uw_pair_counts,
     "phrase_weighted_topk": q_phrase_weighted_topk,
     "doc_fetch": q_doc_fetch,
     "stats_by_source": q_stats_by_source,
