@@ -254,6 +254,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=6)
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-pretokenizer token counts (training-data
+    budget estimators); the regex is engine-portable (no lookahead,
+    ASCII classes) so DuckDB's RE2 counts identically."""
+    return text_analysis.token_counts(load_documents(spark, sf_dir))
+
+
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing/MOSS): distinct
+    window-min k-gram hashes per doc; md5-derived so DuckDB recomputes
+    every fingerprint bit-for-bit."""
+    return dedup.winnow_fingerprints(
+        load_documents(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     qt = query_term_table(queries_df(spark))
@@ -766,6 +786,36 @@ FROM jpairs WHERE jaccard >= 0.8
     sql["ngram_jaccard"] = f"WITH {_BASE},\n{_SHINGLES}\n{jaccard_select}"
     # LSH recall at j≥0.8 with 128 hashes / 32 bands is ≈1 → identical output
     sql["minhash_dedup"] = sql["ngram_jaccard"]
+
+    bpe_re = text_analysis.BPE_ISH_REGEX.replace("'", "''")
+    sql["token_counts"] = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{bpe_re}'))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+    sql["winnow_fingerprints"] = f"""
+WITH {_BASE},
+kg AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i,
+         len(toks) - {WINNOW_K - 1} AS n_grams
+  FROM doctoks WHERE len(toks) >= {WINNOW_K}),
+kh AS (
+  SELECT k.doc_id, k.i, k.n_grams,
+         ('0x' || substring(md5(array_to_string(d.toks[k.i:k.i+{WINNOW_K - 1}], ' ')),
+                            1, 15))::BIGINT AS h
+  FROM kg k JOIN doctoks d USING (doc_id)),
+wmin AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+  FROM kh)
+SELECT DISTINCT doc_id, m AS fp FROM wmin
+WHERE n_grams >= {WINNOW_W} AND i <= n_grams - {WINNOW_W - 1}
+UNION
+SELECT doc_id, min(h) AS fp FROM kh WHERE n_grams < {WINNOW_W} GROUP BY doc_id
+"""
 
     # SimHash bit-for-bit: term hash = ('0x'||md5[:16])::UBIGINT exactly
     # matches the engine's _simhash_term_hash; per-bit tf-weighted sign
@@ -1320,7 +1370,9 @@ SPARK_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_dedup": q_minhash_dedup,
-    "simhash_pairs": q_simhash_pairs,        # rows-only
+    "simhash_pairs": q_simhash_pairs,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "token_counts": q_token_counts,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
     "rm3_expansion": q_rm3_expansion,

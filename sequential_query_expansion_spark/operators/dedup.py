@@ -368,6 +368,88 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+def _winnow_hash(gram: str) -> int:
+    """60-bit k-gram hash from md5 — DuckDB recomputes it exactly as
+    ('0x' || substring(md5(gram), 1, 15))::BIGINT (15 hex chars keep the
+    value inside signed 64-bit for both engines)."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (the MOSS fingerprinting scheme): hash every token
+    k-gram with a rolling window of hashes; each window of ``w``
+    consecutive k-gram hashes contributes its MINIMUM, and the distinct
+    minima form the document's fingerprint set -> (doc_id, fp).
+
+    Guarantees: any shared substring of ≥ w+k-1 tokens between two docs
+    yields ≥ 1 shared fingerprint — the candidate-generation property
+    plagiarism/near-dup detection relies on. Docs with fewer than w
+    windows contribute the min over all their k-gram hashes; docs with
+    < k tokens contribute nothing.
+
+    Kernel shape: one mapInPandas pass, numpy sliding-window minima
+    (stride tricks) — no per-row Python beyond the md5 digest loop,
+    mirroring the MinHash signature kernel.
+    """
+    def fp_fn(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        join = " ".join
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                if toks is None or len(toks) < k:
+                    continue
+                grams = [join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+                h = np.fromiter(
+                    (_winnow_hash(g) for g in grams), dtype=np.int64,
+                    count=len(grams),
+                )
+                if len(h) >= w:
+                    mins = sliding_window_view(h, w).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                fps = np.unique(mins)
+                ids_out.append(np.full(len(fps), doc_id, dtype=np.int64))
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("tokens"),
+    ).mapInPandas(fp_fn, schema="doc_id long, fp long")
+
+
+def winnow_candidates(fingerprints: DataFrame) -> DataFrame:
+    """Docs sharing ≥ 1 winnowing fingerprint -> (doc_a, doc_b,
+    n_shared). Equi-join on fp — the same bucketed no-cross-join shape
+    as LSH candidate generation."""
+    a = fingerprints.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fingerprints.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -52,6 +52,33 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to be engine-portable: no
+# lookahead (RE2/DuckDB lacks it), ASCII classes (identical semantics in
+# Java regex and RE2). Counts approximate BPE token counts the way data
+# pipelines budget context windows.
+BPE_ISH_REGEX = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+)
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace token count and a
+    BPE-ish pre-tokenizer match count — the two standard size estimators
+    for training-data budgeting. Pure built-in regex functions."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
 def quality_score(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -111,6 +111,24 @@ def test_simhash_vectorized_matches_reference(spark, tiny_corpus):
     assert got == want
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property: two docs sharing a substring of ≥ w+k-1
+    tokens must share ≥ 1 fingerprint; disjoint docs share none."""
+    k, w = 5, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))   # exactly w+k-1
+    rows = [
+        (0, "aa bb cc dd ee " + shared + " ff gg hh ii jj"),
+        (1, "k0 k1 k2 k3 k4 k5 " + shared),
+        (2, " ".join(f"z{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(docs, k=k, w=w)
+    cands = dedup.winnow_candidates(fps).toPandas()
+    pairs = {tuple(r) for r in cands[["doc_a", "doc_b"]].values}
+    assert (0, 1) in pairs
+    assert not {(0, 2), (1, 2)} & pairs
+
+
 def test_simhash_pairs_exact_at_radius_6(spark, tiny_corpus):
     """Regression for the pigeonhole hole: with 4 pieces, pairs at
     hamming 4-6 can disagree on every piece and were silently dropped;
