@@ -18,6 +18,8 @@ layout), as DataFrame one-liners:
   vtl              validate: Σtf per doc == dl; Σdf == distinct pairs
                                                       (cpp :276-308)
   q  <text>        BM25 top-10 for an ad-hoc query
+  del <id...>      tombstone documents (S14 delete; cpp :710-723)
+  compact          apply tombstones + rewrite (S14 compact)
 
 Usage: python -m sequential_query_expansion_spark.cli <index_dir> <cmd> [args]
 """
@@ -40,6 +42,20 @@ def main(argv=None) -> int:
         return 2
     index_dir, cmd, *args = argv
     spark = get_spark("sqe-cli")
+
+    if cmd == "del":
+        from .index.maintenance import delete_docs
+
+        delete_docs(spark, index_dir, [int(a) for a in args])
+        print(f"tombstoned {len(args)} docs (run `compact` to apply)")
+        return 0
+    if cmd == "compact":
+        from .index.maintenance import compact_index
+
+        idx = compact_index(spark, index_dir)
+        print(f"compacted; {idx.n_docs} docs remain")
+        return 0
+
     idx = load_index(spark, index_dir)
 
     if cmd == "t":
