@@ -327,6 +327,10 @@ def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+P_CUTS = [5, 10, 20, 100]      # trec_eval P_k ladder (subset)
+NDCG_CUTS = [10, 100]
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     qt = query_term_table(queries_df(spark))
@@ -334,7 +338,7 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "doc_id", "rank", "score"
     )
     qrels = pseudo_qrels(spark, sf_dir)
-    out = evaluate(run, qrels, p_at=10, ndcg_at=10)
+    out = evaluate(run, qrels, p_at=P_CUTS, ndcg_at=NDCG_CUTS)
     return out.select("metric", "qid", F.round("value", 6).alias("value"))
 
 
@@ -910,9 +914,15 @@ aggq AS (
   SELECT p.qid,
          sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec,
          min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
-         sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0 END) AS hits_at_p,
-         sum(CASE WHEN rel > 0 AND rank <= 10
-                  THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg,
+         {", ".join(
+             f"sum(CASE WHEN rel > 0 AND rank <= {p} THEN 1 ELSE 0 END) AS hits_at_{p}"
+             for p in P_CUTS
+         )},
+         {", ".join(
+             f"sum(CASE WHEN rel > 0 AND rank <= {n} "
+             f"THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg_{n}"
+             for n in NDCG_CUTS
+         )},
          sum(CASE WHEN rel > 0 AND rank <= n.n_rel THEN 1 ELSE 0 END) AS rprec_hits,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret,
          count(*) AS num_ret,
@@ -923,18 +933,29 @@ aggq AS (
          )}
   FROM perhit p LEFT JOIN nrel n USING (qid) GROUP BY p.qid),
 ideal AS (
-  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+  SELECT qid,
+         {", ".join(
+             f"sum(CASE WHEN irank <= {n} "
+             f"THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg_{n}"
+             for n in NDCG_CUTS
+         )}
   FROM (SELECT qid, rel,
                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
         FROM qrels)
-  WHERE irank <= 10 GROUP BY qid),
+  WHERE irank <= {max(NDCG_CUTS)} GROUP BY qid),
 perq AS (
   SELECT q.qid,
          CASE WHEN coalesce(n.n_rel, 0) > 0
               THEN coalesce(a.sum_prec, 0) / n.n_rel ELSE 0.0 END AS map,
-         coalesce(a.hits_at_p, 0)::DOUBLE / 10 AS "P_10",
-         CASE WHEN i.idcg > 0
-              THEN coalesce(a.dcg, 0) / i.idcg ELSE 0.0 END AS ndcg_cut_10,
+         {", ".join(
+             f'coalesce(a.hits_at_{p}, 0)::DOUBLE / {p} AS "P_{p}"'
+             for p in P_CUTS
+         )},
+         {", ".join(
+             f"CASE WHEN i.idcg_{n} > 0 "
+             f"THEN coalesce(a.dcg_{n}, 0) / i.idcg_{n} ELSE 0.0 END AS ndcg_cut_{n}"
+             for n in NDCG_CUTS
+         )},
          CASE WHEN a.first_rel IS NOT NULL
               THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank,
          CASE WHEN coalesce(n.n_rel, 0) > 0
@@ -957,8 +978,14 @@ perq AS (
   LEFT JOIN ideal i USING (qid)),
 longf AS (
   SELECT 'map' AS metric, qid, map AS value FROM perq
-  UNION ALL SELECT 'P_10', qid, "P_10" FROM perq
-  UNION ALL SELECT 'ndcg_cut_10', qid, ndcg_cut_10 FROM perq
+  {" ".join(
+      "UNION ALL SELECT 'P_{p}', qid, {q}P_{p}{q} FROM perq".format(p=p, q=chr(34))
+      for p in P_CUTS
+  )}
+  {" ".join(
+      f"UNION ALL SELECT 'ndcg_cut_{n}', qid, ndcg_cut_{n} FROM perq"
+      for n in NDCG_CUTS
+  )}
   UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq
   UNION ALL SELECT 'Rprec', qid, rprec FROM perq
   UNION ALL SELECT 'bpref', qid, bpref FROM perq

@@ -17,13 +17,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
-             ndcg_at: int = 10) -> DataFrame:
+def evaluate(results: DataFrame, qrels: DataFrame,
+             p_at: int | list = 10,
+             ndcg_at: int | list = 10) -> DataFrame:
     """-> (metric string, qid string, value double), including 'all' rows.
 
-    Metrics: map, P_{p_at}, ndcg_cut_{ndcg_at}, recip_rank, Rprec, bpref,
-    num_ret, num_rel, num_rel_ret, and the 11 interpolated-precision
-    points iprec_at_recall_0.00..1.00 — the full row inventory of the
+    Metrics: map, P_{k} for each cutoff in ``p_at``, ndcg_cut_{k} for
+    each cutoff in ``ndcg_at`` (ints or lists — trec_eval's ladder is
+    5,10,15,20,30,100,200,500,1000), recip_rank, Rprec, bpref, num_ret,
+    num_rel, num_rel_ret, and the 11 interpolated-precision points
+    iprec_at_recall_0.00..1.00 — the full row inventory of the
     reference's eval files (evals/dir/trec7n8/indriRunQuery.evals carries
     30 rows per block; map at ipynb:31480-31496). The 'all' row for the
     three count metrics is the SUM over queries (trec_eval semantics);
@@ -72,21 +75,30 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
         )
     )
 
+    p_cuts = [p_at] if isinstance(p_at, int) else list(p_at)
+    n_cuts = [ndcg_at] if isinstance(ndcg_at, int) else list(ndcg_at)
+
     ap = (
         per_hit.groupBy("qid")
         .agg(
             F.sum("prec_at_rank").alias("sum_prec"),
             F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
-            F.sum(
-                ((F.col("rel") > 0) & (F.col("rank") <= p_at)).cast("int")
-            ).alias("hits_at_p"),
-            F.sum(
-                F.when(
-                    (F.col("rel") > 0) & (F.col("rank") <= ndcg_at),
-                    (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
-                    / F.log2(F.col("rank") + 1.0),
-                )
-            ).alias("dcg"),
+            *[
+                F.sum(
+                    ((F.col("rel") > 0) & (F.col("rank") <= p)).cast("int")
+                ).alias(f"hits_at_{p}")
+                for p in p_cuts
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("rel") > 0) & (F.col("rank") <= n),
+                        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                        / F.log2(F.col("rank") + 1.0),
+                    )
+                ).alias(f"dcg_{n}")
+                for n in n_cuts
+            ],
             F.collect_list(
                 F.when(
                     F.col("rel") > 0,
@@ -121,18 +133,25 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
         )
     )
 
-    # ideal DCG from qrels grades (top ndcg_at grades per qid, descending)
+    # ideal DCG from qrels grades (top-k grades per qid, descending),
+    # one column per requested cutoff
     w_ideal = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
     idcg = (
         qrels.filter(F.col("rel") > 0)
         .withColumn("irank", F.row_number().over(w_ideal))
-        .filter(F.col("irank") <= ndcg_at)
+        .filter(F.col("irank") <= max(n_cuts))
         .groupBy("qid")
         .agg(
-            F.sum(
-                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
-                / F.log2(F.col("irank") + 1.0)
-            ).alias("idcg")
+            *[
+                F.sum(
+                    F.when(
+                        F.col("irank") <= n,
+                        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                        / F.log2(F.col("irank") + 1.0),
+                    )
+                ).alias(f"idcg_{n}")
+                for n in n_cuts
+            ]
         )
     )
 
@@ -146,13 +165,20 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
             )
             .otherwise(0.0)
             .alias("map"),
-            (F.col("hits_at_p").cast("double") / p_at).alias(f"P_{p_at}"),
-            F.when(
-                F.col("idcg") > 0,
-                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
-            )
-            .otherwise(0.0)
-            .alias(f"ndcg_cut_{ndcg_at}"),
+            *[
+                (F.col(f"hits_at_{p}").cast("double") / p).alias(f"P_{p}")
+                for p in p_cuts
+            ],
+            *[
+                F.when(
+                    F.col(f"idcg_{n}") > 0,
+                    F.coalesce(F.col(f"dcg_{n}"), F.lit(0.0))
+                    / F.col(f"idcg_{n}"),
+                )
+                .otherwise(0.0)
+                .alias(f"ndcg_cut_{n}")
+                for n in n_cuts
+            ],
             F.when(F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel"))
             .otherwise(0.0)
             .alias("recip_rank"),
@@ -194,7 +220,8 @@ def evaluate(results: DataFrame, qrels: DataFrame, p_at: int = 10,
         )
     )
 
-    metrics = ["map", f"P_{p_at}", f"ndcg_cut_{ndcg_at}", "recip_rank",
+    metrics = ["map", *[f"P_{p}" for p in p_cuts],
+               *[f"ndcg_cut_{n}" for n in n_cuts], "recip_rank",
                "Rprec", "bpref", "num_ret", "num_rel", "num_rel_ret",
                *[f"iprec_at_recall_{lvl / 10:.2f}" for lvl in range(11)]]
     long = per_q.selectExpr(
