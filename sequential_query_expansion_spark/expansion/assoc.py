@@ -4,9 +4,13 @@ instead of the 14-feature combine.
 Reference: the ConceptNet association-score methods — `/assoc` REST
 calls in optParams/wsdm12-improved-NThrsh-coordAsc.ipynb (cell 16, raw
 ~968-975) — with three golden eval families (evals/{assoc,assoc2,
-assocRestful}/trec7n8/cnet, best TREC7&8 MAP 0.2042). The network call
-is a non-goal; here the scores come from a STATIC (src, dst, assoc)
-table. The engine also ships a corpus-derived builder whose score is the
+assocRestful}/trec7n8/cnet, best TREC7&8 MAP 0.2042). In the reference
+the assoc/assoc2 variants differ only in WHICH pre-dumped score table
+they load (cell 1 resolves `graphs/<method-minus-digits>/.../graph.txt`,
+i.e. assoc2 is the same algorithm over a different table build);
+assocRestful queries the live endpoint. The ``assoc_table`` parameter
+therefore covers all three variants by table swap. The network call is
+a non-goal; here the scores come from a STATIC (src, dst, assoc) table. The engine also ships a corpus-derived builder whose score is the
 doc-set Jaccard association — deterministic and SQL-recomputable, which
 is what gives the contract entry a DuckDB value oracle.
 
