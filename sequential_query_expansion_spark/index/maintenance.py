@@ -105,6 +105,37 @@ def load_index_live(spark: SparkSession, out_dir: str) -> IndexTables:
     )
 
 
+def _rewrite_buckets(spark: SparkSession, root: str, affected: list,
+                     tomb: DataFrame | None) -> None:
+    """Rewrite the affected bucket=NN partitions of ``root`` in ONE
+    Spark job: filter + anti-join + write to a staging dir partitioned
+    by bucket, then swap the partition dirs driver-side (metadata-only
+    moves). A serial per-bucket loop schedules one job per bucket —
+    fine at 64 buckets, hostile at the thousands a 10^12-doc table
+    carries. A bucket whose rows are ALL tombstoned produces no staging
+    partition and its stale dir is simply removed."""
+    if not affected:
+        return
+    kept = spark.read.parquet(root).filter(F.col("bucket").isin(affected))
+    if tomb is not None:
+        kept = kept.join(F.broadcast(tomb), "doc_id", "left_anti")
+    staging = root + ".compact.tmp"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    (
+        kept.repartition("bucket")          # ~one output file per bucket
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    )
+    for b in affected:
+        dst = os.path.join(root, f"bucket={b}")
+        src = os.path.join(staging, f"bucket={b}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+    shutil.rmtree(staging)
+
+
 def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
     """Physically apply tombstones and refresh every derived table.
 
@@ -137,15 +168,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
             for d in os.listdir(flat_root)
             if d.startswith("bucket=")
         )
-    for b in affected:
-        part = os.path.join(flat_root, f"bucket={b}")
-        kept = spark.read.parquet(part)
-        if tomb is not None:
-            kept = kept.join(F.broadcast(tomb), "doc_id", "left_anti")
-        tmp = part + ".compact.tmp"
-        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part)
-        os.replace(tmp, part)
+    _rewrite_buckets(spark, flat_root, affected, tomb)
     _append_metrics(
         spark, out_dir, "compact_flat",
         spark.createDataFrame(
@@ -169,15 +192,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
                 for d in os.listdir(pos_root)
                 if d.startswith("bucket=")
             )
-        for b in pos_affected:
-            part = os.path.join(pos_root, f"bucket={b}")
-            kept = spark.read.parquet(part)
-            if tomb is not None:
-                kept = kept.join(F.broadcast(tomb), "doc_id", "left_anti")
-            tmp = part + ".compact.tmp"
-            kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part)
-            os.replace(tmp, part)
+        _rewrite_buckets(spark, pos_root, pos_affected, tomb)
 
     if tomb is not None:
         # doc tables

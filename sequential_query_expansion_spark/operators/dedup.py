@@ -435,10 +435,27 @@ def winnow_fingerprints(
     ).mapInPandas(fp_fn, schema="doc_id long, fp long")
 
 
-def winnow_candidates(fingerprints: DataFrame) -> DataFrame:
+def winnow_candidates(
+    fingerprints: DataFrame, max_fp_freq: int | None = 1000
+) -> DataFrame:
     """Docs sharing ≥ 1 winnowing fingerprint -> (doc_a, doc_b,
     n_shared). Equi-join on fp — the same bucketed no-cross-join shape
-    as LSH candidate generation."""
+    as LSH candidate generation.
+
+    ``max_fp_freq`` drops fingerprints shared by more than that many
+    docs before pairing: a boilerplate k-gram (navbars, licence
+    headers) appearing in m docs would emit m² pairs for that single
+    fp — and a fingerprint that common carries no near-dup signal
+    anyway (the standard winnowing-dedup stopword analogue). Pass None
+    to disable."""
+    if max_fp_freq is not None:
+        rare = (
+            fingerprints.groupBy("fp")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_fp_freq)
+            .select("fp")
+        )
+        fingerprints = fingerprints.join(rare, "fp", "left_semi")
     a = fingerprints.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fingerprints.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -131,6 +131,24 @@ def test_stored_positional_stage_and_maintenance(spark, docs_df, tmp_path_factor
     assert comp_docs == {d for d in b.doc_id if d not in DELETED}
 
 
+def test_compact_handles_fully_deleted_buckets(spark, tmp_path_factory):
+    """A term-hash bucket whose every posting belongs to deleted docs
+    produces NO staging partition in the single-job rewrite — its stale
+    dir must still disappear and the index must stay loadable."""
+    rows = [
+        (0, " ".join(f"only0tok{i}" for i in range(12))),
+        (1, " ".join(f"only1tok{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("maint3") / "idx")
+    build_index_checkpointed(spark, docs, out, salt_ranges=2, num_buckets=4)
+    mt.delete_docs(spark, out, [0])
+    idx = mt.compact_index(spark, out)
+    assert idx.n_docs == 1
+    terms = {r["term"] for r in idx.postings_flat.select("term").collect()}
+    assert terms and all(t.startswith("only1tok") for t in terms)
+
+
 def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
     """No tombstones → pure small-file compaction (one file per bucket)."""
     out = str(tmp_path_factory.mktemp("maint2") / "idx")
