@@ -29,6 +29,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts")
 
 
 def _sf_from_dir(d: str) -> float:
@@ -149,6 +151,18 @@ def run_suite(out_path: str | None = None) -> dict:
         "docs_per_sec": round(n_docs / t_build, 1),
         "cpus": CPUS,
     }
+    # two-cluster-size evidence from the most recent `bench.py --scaling`
+    # run (pinned 2M-doc builds at N / 4N / 16N cores — too slow to repeat
+    # inside every suite run; clearly labeled as a separate measurement)
+    scaling_path = os.path.join(_ARTIFACTS, "scaling.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                sc = json.loads(f.read().strip())
+            sc["measured_by"] = "bench.py --scaling (separate pinned run)"
+            result["scaling"] = sc
+        except (ValueError, OSError):
+            pass
     line = json.dumps(result)
     # stop Spark BEFORE printing the result line: the worker-daemon
     # teardown can emit a (harmless) BrokenPipeError traceback, and the
@@ -215,14 +229,21 @@ def run_scaling() -> None:
     tp_n = results[base]["docs_per_sec"]
     tp_4n = results[base * 4]["docs_per_sec"]
     eff = tp_4n / (4.0 * tp_n)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "throughput": {str(c): results[c]["docs_per_sec"] for c in levels},
         "n_docs": results[base].get("n_docs"),
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    })
+    print(line)
+    # persist so the default suite (the driver's per-round BENCH run) can
+    # attach the latest two-cluster-size evidence without re-paying the
+    # multi-minute pinned runs
+    os.makedirs(_ARTIFACTS, exist_ok=True)
+    with open(os.path.join(_ARTIFACTS, "scaling.json"), "w") as f:
+        f.write(line + "\n")
 
 
 def run_build_only() -> None:

@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--delete-file", default=None,
                     help="parquet with a doc_id column to tombstone")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--codec", default="pfor", choices=["pfor", "varint"],
+                    help="posting-block codec for the compacted blocked "
+                         "table (pfor: smaller + faster decode; varint: "
+                         "faster encode)")
     args = ap.parse_args()
 
     builder = SparkSession.builder.appName("sqe-maintain")
@@ -60,8 +64,8 @@ def main() -> int:
         mt.delete_docs(spark, args.index, spark.read.parquet(args.delete_file))
         print(f"tombstoned ids from {args.delete_file}")
     if args.compact:
-        idx = mt.compact_index(spark, args.index)
-        print(f"compacted; {idx.n_docs} docs remain")
+        idx = mt.compact_index(spark, args.index, codec=args.codec)
+        print(f"compacted ({args.codec}); {idx.n_docs} docs remain")
     if not (args.delete_ids or args.delete_file or args.compact):
         print("nothing to do (pass --delete-ids/--delete-file/--compact)")
     spark.stop()

@@ -19,7 +19,8 @@ layout), as DataFrame one-liners:
                                                       (cpp :276-308)
   q  <text>        BM25 top-10 for an ad-hoc query
   del <id...>      tombstone documents (S14 delete; cpp :710-723)
-  compact          apply tombstones + rewrite (S14 compact)
+  compact [codec]  apply tombstones + rewrite (S14 compact); codec =
+                   pfor (default, serving-optimized) or varint
 
 Usage: python -m sequential_query_expansion_spark.cli <index_dir> <cmd> [args]
 """
@@ -52,8 +53,9 @@ def main(argv=None) -> int:
     if cmd == "compact":
         from .index.maintenance import compact_index
 
-        idx = compact_index(spark, index_dir)
-        print(f"compacted; {idx.n_docs} docs remain")
+        codec = args[0] if args else "pfor"
+        idx = compact_index(spark, index_dir, codec=codec)
+        print(f"compacted ({codec}); {idx.n_docs} docs remain")
         return 0
 
     idx = load_index(spark, index_dir)

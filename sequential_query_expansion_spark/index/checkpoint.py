@@ -41,6 +41,7 @@ from .build import (
     build_blocked_postings,
     build_index_from_docs,
 )
+from .codec import BLOCK_FORMAT
 
 NUM_BUCKETS = 64
 
@@ -129,6 +130,7 @@ def build_index_checkpointed(
                     "avgdl": idx.avgdl,
                     "salt_ranges": salt_ranges,
                     "num_buckets": num_buckets,
+                    "block_format": BLOCK_FORMAT,
                     "build_wall_s": time.perf_counter() - t0,
                 },
                 f,
@@ -208,6 +210,16 @@ def build_index_checkpointed(
 def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
+    got = stats.get("block_format", 1)
+    if got != BLOCK_FORMAT:
+        # format 1 (pre-tag) buffers are indistinguishable from payload
+        # bytes — refuse loudly rather than risk a silent misdecode
+        raise ValueError(
+            f"index at {out_dir} has posting block_format={got}; this "
+            f"reader needs {BLOCK_FORMAT} (tagged varint/pfor buffers). "
+            "Rebuild the index (or run compact with the old reader, "
+            "then rebuild)."
+        )
     flat = spark.read.parquet(os.path.join(out_dir, "postings_flat")).drop("bucket")
     pos_path = os.path.join(out_dir, "positional")
     positional = (

@@ -1,26 +1,50 @@
-"""Varint (LEB128) posting-block codec, vectorized in numpy.
+"""Posting-block codecs (varint/LEB128 and PForDelta), vectorized in numpy.
 
 Reference stores postings as Indri's compressed inverted file
 (occuranceCount.cpp:317-351 iterates `DocListIterator` entries
-`(document, positions[])`). We re-express that as docID-delta + varint
-block compression inside binary columns (BASELINE.json north_star).
+`(document, positions[])`). We re-express that as docID-delta +
+varint/PForDelta block compression inside binary columns (BASELINE.json
+north_star names both; either is selectable per build via
+``encode_block(codec=...)``, and every encoded buffer carries a one-byte
+codec tag so ``decode_block`` is self-describing).
 
-Both directions are numpy-vectorized (no per-value Python loop):
+Varint — both directions numpy-vectorized (no per-value Python loop):
 - encode: per-value byte-length computed from bit_length; bytes emitted
   column-wise into an (n, 10) staging array, gathered by a length mask.
 - decode: continuation bits located with a boolean mask; each byte's
   7-bit payload shifted by its position within its value-group and
   scatter-added.
 
-Round-trip is exactly invertible for any uint64 array (property-tested
-with hypothesis in tests/test_codec.py).
+PForDelta (NewPFD-style) — frame-of-reference bit packing + patching:
+- a bit width ``b`` is chosen per block to minimize encoded size; values
+  < 2^b are bit-packed LSB-first (np.packbits); the rest become
+  exceptions, stored as (varint position-deltas, varint high bits) and
+  patched back after unpacking. Block-sized inputs (128 postings) make
+  the width search trivial (≤ 64 candidate widths, fully vectorized).
+
+Round-trips are exactly invertible for any uint64 array (property-tested
+with hypothesis in tests/test_codec.py), and the WAND path is
+rank-identical under either codec (tests/test_wand.py).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 _MAX_BYTES = 10  # ceil(64 / 7)
+
+# one-byte buffer tags (first byte of every encode_block output buffer)
+TAG_VARINT = 0x56  # 'V'
+TAG_PFOR = 0x50    # 'P'
+
+CODECS = ("varint", "pfor")
+
+# bump when the on-disk buffer layout changes; stamped into stats.json by
+# the checkpointed build and checked by load_index (format 1 = untagged
+# varint, unreadable by this version's tag-dispatching decoder)
+BLOCK_FORMAT = 2
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -78,18 +102,127 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64), dtype=np.int64)
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
-    """One posting block -> (docs_bytes, tfs_bytes, dls_bytes)."""
+def _bit_lengths(vals: np.ndarray) -> np.ndarray:
+    """Per-value bit length of a uint64 array, vectorized (6 passes)."""
+    bl = np.zeros(len(vals), dtype=np.int64)
+    v = vals.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1) << np.uint64(shift)
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def _pack_bits(vals: np.ndarray, b: int) -> bytes:
+    """Bit-pack n values (< 2^b each) LSB-first into ceil(n*b/8) bytes."""
+    if b == 0 or len(vals) == 0:
+        return b""
+    shifts = np.arange(b, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * b, bitorder="little"
+    )
+    shifts = np.arange(b, dtype=np.uint64)
+    return (bits.reshape(n, b).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def _choose_width(bit_lens: np.ndarray) -> int:
+    """Width minimizing packed bytes + exception bytes, in one 65×65
+    matrix op (exceptions cost ~1 position byte + ceil((bl-b)/7)
+    high-bit bytes each)."""
+    n = len(bit_lens)
+    bs = np.arange(65, dtype=np.int64)
+    over = np.maximum(bit_lens[None, :] - bs[:, None], 0)  # (b, value)
+    exc_bytes = (-(-over // 7) + (over > 0)).sum(axis=1)   # high bytes + 1 pos byte
+    cost = (n * bs + 7) // 8 + exc_bytes
+    return int(cost.argmin())
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> PForDelta frame: header(b, n_exc, pos_len) +
+    packed low bits + varint exception position-deltas + varint high bits."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return struct.pack("<BHH", 0, 0, 0)
+    bl = _bit_lengths(a)
+    b = _choose_width(bl)
+    if b >= 64:
+        low, exc_idx = a, np.zeros(0, dtype=np.int64)
+    else:
+        mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1)
+        low = a & mask
+        exc_idx = np.flatnonzero(bl > b)
+    packed = _pack_bits(low, b)
+    pos_b = varint_encode(delta_encode(exc_idx)) if len(exc_idx) else b""
+    high_b = (
+        varint_encode(a[exc_idx] >> np.uint64(b)) if len(exc_idx) else b""
+    )
     return (
-        varint_encode(delta_encode(doc_ids)),
-        varint_encode(tfs.astype(np.uint64)),
-        varint_encode(dls.astype(np.uint64)),
+        struct.pack("<BHH", b, len(exc_idx), len(pos_b))
+        + packed + pos_b + high_b
+    )
+
+
+def pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    b, n_exc, pos_len = struct.unpack_from("<BHH", buf, 0)
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off = 5
+    packed_len = (count * b + 7) // 8
+    vals = _unpack_bits(buf[off:off + packed_len], count, b)
+    off += packed_len
+    if n_exc:
+        pos = delta_decode(varint_decode(buf[off:off + pos_len], n_exc))
+        high = varint_decode(buf[off + pos_len:], n_exc)
+        vals[pos] |= high << np.uint64(b)
+    return vals
+
+
+_ENCODERS = {"varint": (TAG_VARINT, varint_encode),
+             "pfor": (TAG_PFOR, pfor_encode)}
+_DECODERS = {TAG_VARINT: varint_decode, TAG_PFOR: pfor_decode}
+
+
+def _encode_tagged(values: np.ndarray, codec: str) -> bytes:
+    tag, enc = _ENCODERS[codec]
+    return bytes([tag]) + enc(values)
+
+
+def _decode_tagged(buf: bytes, count: int) -> np.ndarray:
+    try:
+        dec = _DECODERS[buf[0]]
+    except (KeyError, IndexError):
+        raise ValueError(f"unknown codec tag in posting buffer: {buf[:1]!r}")
+    return dec(buf[1:], count)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                 codec: str = "varint"):
+    """One posting block -> (docs_bytes, tfs_bytes, dls_bytes).
+
+    Each buffer is prefixed with a one-byte codec tag, so readers never
+    need to know the build-time choice (mixed-codec indexes — e.g. after
+    a compact with a different setting — decode fine)."""
+    return (
+        _encode_tagged(delta_encode(doc_ids), codec),
+        _encode_tagged(tfs.astype(np.uint64), codec),
+        _encode_tagged(dls.astype(np.uint64), codec),
     )
 
 
 def decode_block(docs_b: bytes, tfs_b: bytes, dls_b: bytes, n: int):
     """-> (doc_ids int64, tfs int64, dls int64)."""
-    doc_ids = delta_decode(varint_decode(docs_b, n))
-    tfs = varint_decode(tfs_b, n).astype(np.int64)
-    dls = varint_decode(dls_b, n).astype(np.int64)
+    doc_ids = delta_decode(_decode_tagged(docs_b, n))
+    tfs = _decode_tagged(tfs_b, n).astype(np.int64)
+    dls = _decode_tagged(dls_b, n).astype(np.int64)
     return doc_ids, tfs, dls

@@ -136,8 +136,14 @@ def _rewrite_buckets(spark: SparkSession, root: str, affected: list,
     shutil.rmtree(staging)
 
 
-def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
+def compact_index(spark: SparkSession, out_dir: str,
+                  codec: str = "pfor") -> IndexTables:
     """Physically apply tombstones and refresh every derived table.
+
+    ``codec`` picks the posting-block compression for the re-encoded
+    blocked table; the default flips from the build-time "varint" (encode
+    speed) to "pfor" (smaller + ~2× faster decode) because a compacted
+    index is write-once read-many — exactly PForDelta's trade.
 
     Bucket-pruned flat rewrite: only postings_flat/bucket=NN dirs that
     actually contain tombstoned rows are rewritten. The blocked table is
@@ -222,13 +228,16 @@ def compact_index(spark: SparkSession, out_dir: str) -> IndexTables:
     ).head()
     stats["n_docs"] = int(agg["n"] or 0)
     stats["avgdl"] = float(agg["avgdl"] or 0.0)
+    # compact re-encodes every block with this version's writer
+    from .codec import BLOCK_FORMAT
+    stats["block_format"] = BLOCK_FORMAT
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
 
     # blocked re-encode (global: max_score embeds the refreshed stats)
     blocked = build_blocked_postings(
         flat, stats["n_docs"], stats["avgdl"], salt_ranges=salt_ranges,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, codec=codec,
     )
     bp = os.path.join(out_dir, "postings")
     tmpb = bp + ".compact.tmp"

@@ -120,3 +120,35 @@ def F_size_desc():
     from pyspark.sql import functions as F
 
     return F.size("blocks").desc()
+
+
+def test_wand_pfor_codec_rank_identical(spark, index_tables, queries_df, tiny_corpus):
+    """A pfor-encoded index serves the same ranking byte-for-byte: the
+    blocked table is rebuilt with codec='pfor' (the compact/serving
+    default) and WAND over it must equal the flat scoring join."""
+    from sequential_query_expansion_spark.index.build import (
+        build_blocked_postings,
+    )
+
+    idx = index_tables
+    pfor_blocked = build_blocked_postings(
+        idx.postings_flat, idx.n_docs, idx.avgdl, salt_ranges=4, codec="pfor"
+    )
+    import copy
+
+    idx2 = copy.copy(idx)
+    idx2.postings = pfor_blocked
+    qt = query_term_table(queries_df)
+    a = (
+        score_topk(idx, qt, k=10, rank_round=9)
+        .select("qid", "doc_id", "score").toPandas()
+        .sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        wand.wand_topk(idx2, qt, k=10, salt_ranges=4, rank_round=9)
+        .select("qid", "doc_id", "score").toPandas()
+        .sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    )
+    assert list(a.qid) == list(b.qid)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert np.allclose(a.score, b.score, atol=1e-9)
