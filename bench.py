@@ -82,10 +82,13 @@ def run_suite(out_path: str | None = None) -> dict:
     # python-worker spawn and a first read of the parquet files are not
     # billed to the measured build (mirrors run_build_only; observed to
     # remove a cold-cache 2-3x swing in index_build right after other
-    # heavy jobs)
-    _build_and_time(spark, SF_DIR.replace("sf0.1", "sf0.001")
-                    if "sf0.1" in SF_DIR else SF_DIR)
-    spark.catalog.clearCache()   # drop the warmup index's cached tables
+    # heavy jobs). Use the smallest sibling sf dir; if none is smaller
+    # than SF_DIR, skip — warming with the full corpus would silently
+    # double the suite's build work.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        _build_and_time(spark, warm_dir)
+        spark.catalog.clearCache()   # drop the warmup index's cached tables
 
     idx, t_build = _build_and_time(spark, SF_DIR)
     timings["index_build"] = round(t_build, 3)
@@ -263,8 +266,12 @@ def run_build_only() -> None:
     spark = get_spark("sqe-bench-build", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     # warmup: tiny build first so JVM/codegen/python-worker startup is not
-    # attributed to the measured run
-    _build_and_time(spark, SF_DIR.replace("sf0.1", "sf0.001"), replicate=1)
+    # attributed to the measured run (smallest sibling sf dir; falls back
+    # to an un-replicated pass over SF_DIR, which is tiny pre-replication)
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    _build_and_time(spark, warm_dir if os.path.isdir(warm_dir) else SF_DIR,
+                    replicate=1)
+    spark.catalog.clearCache()
     idx, t_build = _build_and_time(spark, SF_DIR, replicate=replicate)
     n_docs = idx.n_docs
     spark.stop()           # before the print: keep our JSON the last line

@@ -788,8 +788,27 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
 FROM jpairs WHERE jaccard >= 0.8
 """
     sql["ngram_jaccard"] = f"WITH {_BASE},\n{_SHINGLES}\n{jaccard_select}"
-    # LSH recall at j≥0.8 with 128 hashes / 32 bands is ≈1 → identical output
-    sql["minhash_dedup"] = sql["ngram_jaccard"]
+    # LSH recall at j≥0.8 with 128 hashes / 32 bands is ≈1, BUT
+    # minhash_lsh_dedup(collapse_exact=True) reports pairs between
+    # exact-duplicate REPRESENTATIVES (min doc_id per fingerprint group)
+    # — so the oracle must too, or the gate breaks the moment the
+    # corpus contains a byte-identical pair (intra-group and
+    # non-representative pairs belong to exact_dedup's output).
+    rep_shingles = _SHINGLES.replace(
+        "FROM doctoks WHERE len(toks) >= 8",
+        "FROM doctoks WHERE len(toks) >= 8 "
+        "AND doc_id IN (SELECT doc_id FROM reps)",
+    )
+    sql["minhash_dedup"] = f"""WITH {_BASE},
+reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents)
+  GROUP BY fp
+),
+{rep_shingles.lstrip()}
+{jaccard_select}"""
 
     bpe_re = text_analysis.BPE_ISH_REGEX.replace("'", "''")
     sql["token_counts"] = f"""

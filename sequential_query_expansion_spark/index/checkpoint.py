@@ -217,8 +217,26 @@ def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
         raise ValueError(
             f"index at {out_dir} has posting block_format={got}; this "
             f"reader needs {BLOCK_FORMAT} (tagged varint/pfor buffers). "
-            "Rebuild the index (or run compact with the old reader, "
-            "then rebuild)."
+            "Migrate in place by running compact_index with THIS version "
+            "(it re-encodes from the flat postings without reading old "
+            "blocked buffers), or rebuild."
+        )
+    # torn-compact detection: compact stamps the re-encoded blocked dir
+    # (_GENERATION marker) and stats.json with one shared generation id;
+    # block max_score embeds n_docs/avgdl, so a crash between the two
+    # writes would pair stats with bounds computed under DIFFERENT stats
+    # and make WAND pruning unsound. None == None for never-compacted
+    # indexes.
+    gen_file = os.path.join(out_dir, "postings", "_GENERATION")
+    gen_on_disk = None
+    if os.path.exists(gen_file):
+        with open(gen_file) as f:
+            gen_on_disk = f.read().strip()
+    if stats.get("generation") != gen_on_disk:
+        raise ValueError(
+            f"index at {out_dir} is torn mid-compact (stats generation "
+            f"{stats.get('generation')!r} != blocked generation "
+            f"{gen_on_disk!r}); re-run compact_index to repair."
         )
     flat = spark.read.parquet(os.path.join(out_dir, "postings_flat")).drop("bucket")
     pos_path = os.path.join(out_dir, "positional")

@@ -148,12 +148,15 @@ def _choose_width(bit_lens: np.ndarray) -> int:
 
 
 def pfor_encode(values: np.ndarray) -> bytes:
-    """uint64 array -> PForDelta frame: header(b, n_exc, pos_len) +
-    packed low bits + varint exception position-deltas + varint high bits."""
+    """uint64 array -> PForDelta frame: header(b:u8, n_exc:u32,
+    pos_len:u32) + packed low bits + varint exception position-deltas +
+    varint high bits. u32 counts keep the codec valid for ANY array
+    length (the block writer only ever passes 128-value blocks, but the
+    positions/other callers must not silently overflow a u16)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(a)
     if n == 0:
-        return struct.pack("<BHH", 0, 0, 0)
+        return struct.pack("<BII", 0, 0, 0)
     bl = _bit_lengths(a)
     b = _choose_width(bl)
     if b >= 64:
@@ -168,16 +171,16 @@ def pfor_encode(values: np.ndarray) -> bytes:
         varint_encode(a[exc_idx] >> np.uint64(b)) if len(exc_idx) else b""
     )
     return (
-        struct.pack("<BHH", b, len(exc_idx), len(pos_b))
+        struct.pack("<BII", b, len(exc_idx), len(pos_b))
         + packed + pos_b + high_b
     )
 
 
 def pfor_decode(buf: bytes, count: int) -> np.ndarray:
-    b, n_exc, pos_len = struct.unpack_from("<BHH", buf, 0)
+    b, n_exc, pos_len = struct.unpack_from("<BII", buf, 0)
     if count == 0:
         return np.zeros(0, dtype=np.uint64)
-    off = 5
+    off = 9
     packed_len = (count * b + 7) // 8
     vals = _unpack_bits(buf[off:off + packed_len], count, b)
     off += packed_len

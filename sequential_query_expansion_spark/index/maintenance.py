@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,12 +146,18 @@ def compact_index(spark: SparkSession, out_dir: str,
     speed) to "pfor" (smaller + ~2× faster decode) because a compacted
     index is write-once read-many — exactly PForDelta's trade.
 
+    ``codec`` is validated up front: a typo must fail BEFORE any table
+    is rewritten, not mid-compact.
+
     Bucket-pruned flat rewrite: only postings_flat/bucket=NN dirs that
     actually contain tombstoned rows are rewritten. The blocked table is
     re-encoded globally (block-max metadata embeds n_docs/avgdl/df —
     VERDICT r1 correctly flagged stale bounds as a pruning-soundness
     hazard). Also serves as plain small-file compaction when there are
     no tombstones (each bucket rewritten to one file)."""
+    from .codec import CODECS
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}; choose from {CODECS}")
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     salt_ranges = stats.get("salt_ranges", 8)
@@ -231,10 +238,18 @@ def compact_index(spark: SparkSession, out_dir: str,
     # compact re-encodes every block with this version's writer
     from .codec import BLOCK_FORMAT
     stats["block_format"] = BLOCK_FORMAT
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
 
-    # blocked re-encode (global: max_score embeds the refreshed stats)
+    # blocked re-encode (global: max_score embeds the refreshed stats).
+    # Crash-atomicity: the refreshed stats and the re-encoded blocked
+    # table must land TOGETHER (block max_score embeds n_docs/avgdl —
+    # mixing old blocks with new stats under-estimates WAND bounds).
+    # Both sides are stamped with one generation id: blocked dir gets a
+    # _GENERATION marker (underscore-prefixed → invisible to the parquet
+    # reader), stats.json gets the same value, and stats.json is written
+    # ONLY AFTER the postings swap. load_index cross-checks the two and
+    # refuses a torn pair (the fix is simply re-running compact).
+    generation = uuid.uuid4().hex
+    stats["generation"] = generation
     blocked = build_blocked_postings(
         flat, stats["n_docs"], stats["avgdl"], salt_ranges=salt_ranges,
         num_buckets=num_buckets, codec=codec,
@@ -242,9 +257,20 @@ def compact_index(spark: SparkSession, out_dir: str,
     bp = os.path.join(out_dir, "postings")
     tmpb = bp + ".compact.tmp"
     blocked.write.mode("overwrite").partitionBy("bucket").parquet(tmpb)
+    with open(os.path.join(tmpb, "_GENERATION"), "w") as f:
+        f.write(generation)
+    old_bp = bp + ".compact.old"
+    if os.path.isdir(old_bp):
+        shutil.rmtree(old_bp)
     if os.path.isdir(bp):
-        shutil.rmtree(bp)
-    os.replace(tmpb, bp)
+        os.rename(bp, old_bp)
+    os.rename(tmpb, bp)
+    sp = os.path.join(out_dir, "stats.json")
+    with open(sp + ".tmp", "w") as f:
+        json.dump(stats, f)
+    os.replace(sp + ".tmp", sp)          # atomic: stats+blocked now agree
+    if os.path.isdir(old_bp):
+        shutil.rmtree(old_bp)
 
     man = _load_manifest(out_dir)
     man["buckets_done"] = sorted(range(num_buckets))

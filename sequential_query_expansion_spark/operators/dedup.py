@@ -342,7 +342,10 @@ def minhash_lsh_dedup(
 
     At threshold 0.8 with 128 hashes / 32 bands of 4 the candidate recall
     is ≈1, so the verified output matches exact ``ngram_jaccard_pairs``
-    while scaling linearly in corpus size.
+    computed over the exact-duplicate REPRESENTATIVES (see
+    ``collapse_exact`` below — with ``collapse_exact=False`` it matches
+    the all-docs ``ngram_jaccard_pairs``), while scaling linearly in
+    corpus size.
 
     ``collapse_exact`` (default on) first collapses byte-identical docs
     to their min-id representative: a mass-duplicated page (the normal

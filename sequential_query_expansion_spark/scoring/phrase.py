@@ -200,7 +200,10 @@ def phrase_weighted_topk(
 
     parts = [term_contrib]
     if phrase_clauses is not None:
-        pm = phrase_match_counts(positional, phrase_clauses)
+        # pm is read twice (clause df aggregate + per-doc contributions);
+        # persist so the positional join + window kernel run ONCE — it is
+        # tiny by construction (docs that match the phrase)
+        pm = phrase_match_counts(positional, phrase_clauses).persist()
         clause_df = pm.groupBy("clause_id").agg(
             F.count("*").cast("double").alias("df")
         )

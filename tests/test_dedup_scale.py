@@ -155,3 +155,49 @@ def test_simhash_pairs_exact_at_radius_6(spark, tiny_corpus):
             if h <= 6:
                 want.add((i, j, h))
     assert got == want and len(want) > 0
+
+
+def test_minhash_rep_semantics_with_exact_dups(spark):
+    """Regression for the collapse_exact/oracle contract: with exact
+    duplicates present, minhash_lsh_dedup reports near-dup pairs between
+    exact-dup REPRESENTATIVES, equal to ngram_jaccard_pairs restricted
+    to representatives (and NOT the all-docs pair set)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, base),                       # rep of the exact group
+        (1, base),                       # exact dup of 0
+        (2, base),                       # exact dup of 0
+        (3, base + " near extra tail"),  # near-dup of the group
+        (4, "completely different words only here nothing shared at "
+            "all zero overlap with any other document in this corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = (
+        dedup.minhash_lsh_dedup(docs, threshold=0.5)
+        .orderBy("doc_a", "doc_b").collect()
+    )
+    reps = docs.filter("doc_id in (0, 3, 4)")
+    want = (
+        dedup.ngram_jaccard_pairs(reps, threshold=0.5)
+        .orderBy("doc_a", "doc_b").collect()
+    )
+    assert [(r.doc_a, r.doc_b) for r in got] == \
+        [(r.doc_a, r.doc_b) for r in want] == [(0, 3)]
+    for g, w in zip(got, want):
+        assert abs(g.jaccard - w.jaccard) < 1e-9
+
+    # collapse_exact=False restores the documented all-docs equivalence
+    got_all = (
+        dedup.minhash_lsh_dedup(docs, threshold=0.5, collapse_exact=False)
+        .orderBy("doc_a", "doc_b").collect()
+    )
+    want_all = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        .orderBy("doc_a", "doc_b").collect()
+    )
+    assert [(r.doc_a, r.doc_b) for r in got_all] == \
+        [(r.doc_a, r.doc_b) for r in want_all]
+    assert {(0, 1), (0, 2), (1, 2), (0, 3)} <= \
+        {(r.doc_a, r.doc_b) for r in got_all}

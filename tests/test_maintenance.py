@@ -161,3 +161,49 @@ def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
     assert after == len(glob.glob(os.path.join(out, "postings_flat", "bucket=*")))
     after_idx = mt.load_index_live(spark, out)
     assert after_idx.n_docs == docs_df.count()
+
+
+def test_torn_compact_detected(spark, tmp_path_factory):
+    """Crash-atomicity guard: if the blocked postings and stats.json
+    carry different generation ids (a crash between the postings swap
+    and the stats write), load_index must refuse — block max_score
+    embeds collection stats, so a torn pair makes WAND pruning unsound."""
+    import json
+
+    from sequential_query_expansion_spark.index.checkpoint import load_index
+
+    out = str(tmp_path_factory.mktemp("torn"))
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"),
+    )
+    build_index_checkpointed(spark, docs, out, salt_ranges=2, num_buckets=4)
+    mt.delete_docs(spark, out, [1])
+    mt.compact_index(spark, out)
+    load_index(spark, out)  # consistent pair loads fine
+
+    # simulate the torn window: blocked generation != stats generation
+    with open(os.path.join(out, "postings", "_GENERATION"), "w") as f:
+        f.write("deadbeef")
+    with pytest.raises(ValueError, match="torn mid-compact"):
+        load_index(spark, out)
+
+    # re-running compact repairs it
+    mt.compact_index(spark, out)
+    assert load_index(spark, out).n_docs == 39
+    with open(os.path.join(out, "stats.json")) as f:
+        assert json.load(f)["generation"]
+
+
+def test_compact_rejects_unknown_codec_before_rewriting(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("codecval"))
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha doc "), F.col("id")).alias("text"),
+    )
+    build_index_checkpointed(spark, docs, out, salt_ranges=2, num_buckets=2)
+    before = sorted(glob.glob(os.path.join(out, "postings_flat", "*", "*")))
+    with pytest.raises(ValueError, match="unknown codec"):
+        mt.compact_index(spark, out, codec="pforr")
+    # nothing was rewritten
+    assert sorted(glob.glob(os.path.join(out, "postings_flat", "*", "*"))) == before
