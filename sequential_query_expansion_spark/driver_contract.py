@@ -302,6 +302,23 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-k (the reference's `method:dir,
+    mu:1600` rule, configs/trec7n8) — same query set and top-k contract
+    as q_bm25_topk, scored by scoring/lm.py."""
+    from .scoring.lm import dirichlet_topk
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = dirichlet_topk(idx, qt, k=TOPK, mu=1600.0, rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     qt = query_term_table(queries_df(spark))
@@ -879,6 +896,38 @@ FROM topk WHERE rank <= {TOPK}
     # WAND must produce the identical result set through the compressed path
     sql["bm25_topk_wand"] = sql["bm25_topk"]
 
+    # Dirichlet query likelihood (method:dir, mu:1600). C = Σ cf; docs
+    # matching ≥1 query term score Σ w·ln(1 + tf·C/(mu·cf)) + W_q·ln(mu/(dl+mu)).
+    sql["lm_topk"] = f"""
+WITH {_BASE},
+{qterms},
+c AS (SELECT sum(cf)::DOUBLE AS c_total FROM vocab),
+wq AS (SELECT qid, sum(weight)::DOUBLE AS w_q FROM qterms GROUP BY qid),
+matched AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight * ln(1.0 + tf.tf * c.c_total / (1600.0 * v.cf))) AS m,
+         min(dl.dl) AS dl
+  FROM qterms q
+  JOIN vocab v ON v.term = q.term
+  JOIN tf ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN c
+  GROUP BY q.qid, tf.doc_id
+),
+lmscored AS (
+  SELECT m.qid, m.doc_id, m.m + wq.w_q * ln(1600.0 / (m.dl + 1600.0)) AS score
+  FROM matched m JOIN wq ON wq.qid = m.qid
+),
+lmtopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM lmscored
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM lmtopk WHERE rank <= {TOPK}
+"""
+
     sql["rm3_expansion"] = f"""
 WITH {_BASE},
 {qterms},
@@ -1421,6 +1470,7 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "lm_topk": q_lm_topk,
     "rm3_expansion": q_rm3_expansion,
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "eval_metrics": q_eval_metrics,

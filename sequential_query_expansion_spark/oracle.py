@@ -103,6 +103,37 @@ def bm25_topk(
     return ranked[:k]
 
 
+def dirichlet_topk(
+    index: OracleIndex,
+    query_terms: Iterable[str],
+    k: int = 10,
+    mu: float = 1600.0,
+    weights: Dict[str, float] | None = None,
+) -> List[Tuple[int, float]]:
+    """Exact Dirichlet query-likelihood top-k (Indri method:dir), same
+    decomposition as scoring/lm.py: matched sum + W_q doc-length prior;
+    only docs matching >= 1 in-vocabulary query term are scored."""
+    vocab = index.vocab
+    c_total = float(sum(cf for _, cf in vocab.values()))
+    terms = list(query_terms)
+    in_vocab = [t for t in terms if t in index.postings]
+    w_q = sum(
+        (1.0 if weights is None else weights.get(t, 1.0)) for t in terms
+    )
+    matched: Dict[int, float] = defaultdict(float)
+    for term in in_vocab:
+        w = 1.0 if weights is None else weights.get(term, 1.0)
+        cf = vocab[term][1]
+        for doc_id, tf in index.postings[term].items():
+            matched[doc_id] += w * math.log(1.0 + tf * c_total / (mu * cf))
+    scores = {
+        d: m + w_q * math.log(mu / (index.doc_len[d] + mu))
+        for d, m in matched.items()
+    }
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
 def phrase_weighted_topk(
     index: OracleIndex,
     doc_tokens: Dict[int, List[str]],

@@ -86,3 +86,39 @@ def test_oov_query_returns_empty(spark, index_tables):
     qdf = spark.createDataFrame([("qx", "zzznothere qqqmissing")], "qid string, text string")
     res = score_topk(index_tables, query_term_table(qdf), k=10)
     assert res.count() == 0
+
+
+def test_dirichlet_topk_rank_identical(spark, index_tables, oracle_index, tiny_corpus):
+    """Dirichlet query-likelihood (scoring/lm.py, the reference's
+    method:dir rule) is rank-identical to the pure-Python oracle —
+    duplicate query terms accumulate weight, OOV terms only affect the
+    doc-length prior through W_q exactly like both implementations."""
+    from collections import Counter
+
+    from sequential_query_expansion_spark.oracle import (
+        dirichlet_topk as oracle_dirichlet,
+    )
+    from sequential_query_expansion_spark.scoring.lm import dirichlet_topk
+
+    qt = query_term_table(spark.createDataFrame(tiny_corpus.queries))
+    got_rows = (
+        dirichlet_topk(index_tables, qt, k=K, mu=1600.0, rank_round=9)
+        .collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    for _, qrow in tiny_corpus.queries.iterrows():
+        qid, text = qrow["qid"], qrow["text"]
+        toks = tokenize_py(text)
+        weights = {t: float(c) for t, c in Counter(toks).items()}
+        expected = oracle_dirichlet(
+            oracle_index, sorted(set(toks)), k=K, mu=1600.0, weights=weights
+        )
+        spark_ranked = got.get(qid, [])
+        assert len(spark_ranked) == len(expected), qid
+        for (rank, doc_id, score), (e_doc, e_score) in zip(spark_ranked, expected):
+            assert doc_id == e_doc, f"{qid} rank {rank}: {doc_id} != {e_doc}"
+            assert score == pytest.approx(e_score, abs=1e-9)
