@@ -319,6 +319,23 @@ def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage-smoothing top-k (the reference's CDS14 `method:two`
+    rule, configs/cds14/indriRunQuery.cfg) — scoring/lm.py."""
+    from .scoring.lm import two_stage_topk
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = two_stage_topk(idx, qt, k=TOPK, mu=1600.0, lam=0.4,
+                         rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     qt = query_term_table(queries_df(spark))
@@ -928,6 +945,47 @@ SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM lmtopk WHERE rank <= {TOPK}
 """
 
+    # Two-stage smoothing (method:two, mu=1600, lambda=0.4). Candidates
+    # match >= 1 in-vocab term; EVERY in-vocab query term contributes
+    # (tf=0 when absent): p(t|d) = 0.6*(tf + mu*p_t)/(dl+mu) + 0.4*p_t.
+    sql["two_stage_topk"] = f"""
+WITH {_BASE},
+{qterms},
+c AS (SELECT sum(cf)::DOUBLE AS c_total FROM vocab),
+qv AS (
+  SELECT q.qid, q.term, q.weight, v.cf / c.c_total AS p_t
+  FROM qterms q JOIN vocab v ON v.term = q.term CROSS JOIN c
+),
+qpairs AS (
+  SELECT qv.qid, qv.term, tf.doc_id, tf.tf
+  FROM qv JOIN tf ON tf.term = qv.term
+),
+cands AS (SELECT DISTINCT qid, doc_id FROM qpairs),
+fullq AS (
+  SELECT cd.qid, cd.doc_id, qv.weight, qv.p_t,
+         coalesce(p.tf, 0) AS tf, dl.dl
+  FROM cands cd
+  JOIN qv ON qv.qid = cd.qid
+  LEFT JOIN qpairs p
+    ON p.qid = cd.qid AND p.term = qv.term AND p.doc_id = cd.doc_id
+  JOIN dl ON dl.doc_id = cd.doc_id
+),
+tsscored AS (
+  SELECT qid, doc_id,
+         sum(weight * ln(0.6 * (tf + 1600.0 * p_t) / (dl + 1600.0)
+                         + 0.4 * p_t)) AS score
+  FROM fullq GROUP BY qid, doc_id
+),
+tstopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM tsscored
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM tstopk WHERE rank <= {TOPK}
+"""
+
     sql["rm3_expansion"] = f"""
 WITH {_BASE},
 {qterms},
@@ -1471,6 +1529,7 @@ SPARK_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
     "lm_topk": q_lm_topk,
+    "two_stage_topk": q_two_stage_topk,
     "rm3_expansion": q_rm3_expansion,
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "eval_metrics": q_eval_metrics,

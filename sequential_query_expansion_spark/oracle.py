@@ -134,6 +134,40 @@ def dirichlet_topk(
     return ranked[:k]
 
 
+def two_stage_topk(
+    index: OracleIndex,
+    query_terms: Iterable[str],
+    k: int = 10,
+    mu: float = 1600.0,
+    lam: float = 0.4,
+    weights: Dict[str, float] | None = None,
+) -> List[Tuple[int, float]]:
+    """Exact two-stage smoothing top-k (Indri method:two), mirroring
+    scoring/lm.py::two_stage_topk: candidates are docs matching >= 1
+    in-vocabulary query term; every in-vocabulary term contributes
+    (tf = 0 when absent); OOV terms are dropped like Indri does."""
+    vocab = index.vocab
+    c_total = float(sum(cf for _, cf in vocab.values()))
+    in_vocab = [t for t in query_terms if t in index.postings]
+    cands: set = set()
+    for t in in_vocab:
+        cands.update(index.postings[t].keys())
+    scores: Dict[int, float] = {}
+    for d in cands:
+        dl = index.doc_len[d]
+        s = 0.0
+        for t in in_vocab:
+            w = 1.0 if weights is None else weights.get(t, 1.0)
+            p_t = vocab[t][1] / c_total
+            tf = index.postings[t].get(d, 0)
+            s += w * math.log(
+                (1.0 - lam) * (tf + mu * p_t) / (dl + mu) + lam * p_t
+            )
+        scores[d] = s
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
 def phrase_weighted_topk(
     index: OracleIndex,
     doc_tokens: Dict[int, List[str]],

@@ -75,6 +75,11 @@ def dirichlet_topk(
             * F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
         ).alias("score"),
     )
+    return _windowed_topk(scored, index, k, rank_round)
+
+
+def _windowed_topk(scored: DataFrame, index: IndexTables, k: int,
+                   rank_round: int | None) -> DataFrame:
     sort_score = (
         F.round("score", rank_round) if rank_round is not None else F.col("score")
     )
@@ -85,3 +90,63 @@ def dirichlet_topk(
         .join(F.broadcast(index.docmap), "doc_id")
         .select("qid", "doc_id", "url", "rank", "score")
     )
+
+
+def two_stage_topk(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    mu: float = 1600.0,
+    lam: float = 0.4,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Two-stage smoothing (Indri `method:two` — the reference's CDS14
+    headline rule, configs/cds14/indriRunQuery.cfg tail; README.md:28
+    infNDCG 0.2889 is computed under it):
+
+        p(t|d) = (1-λ)·(tf + mu·p(t|C))/(dl + mu) + λ·p(t|C)
+        score(q, d) = Σ_t w_t · ln p(t|d)
+
+    Unlike Dirichlet, the missing-term contribution depends on BOTH the
+    term (p_t) and the doc (dl), so it cannot be folded into a per-doc
+    prior. Candidate docs (those matching ≥ 1 query term) are therefore
+    crossed with the full query-term list — candidate-set × |q| rows,
+    small by construction — and tf defaults to 0 on the left join. The
+    big postings side is only ever touched by broadcast joins.
+    """
+    c_total = float(index.vocab.agg(F.sum("cf")).head()[0] or 0.0)
+    qt = query_terms.join(index.vocab.select("term", "cf"), "term").select(
+        "qid", "term", "weight",
+        (F.col("cf").cast("double") / F.lit(c_total)).alias("p_t"),
+    )
+
+    # restrict postings to the query vocabulary FIRST (broadcast semi
+    # join into the scan): every later join touches only candidate-sized
+    # data — the full postings table never shuffles
+    pairs = (
+        index.postings_flat.join(
+            F.broadcast(qt.select("qid", "term").distinct()), "term"
+        )
+        .select("qid", "term", "doc_id", "tf", "dl")
+        .persist()
+    )
+    cands = pairs.groupBy("qid", "doc_id").agg(F.first("dl").alias("dl"))
+    full = (
+        cands.join(F.broadcast(qt), "qid")
+        .join(
+            pairs.select("qid", "term", "doc_id", "tf"),
+            ["qid", "term", "doc_id"],
+            "left",
+        )
+        .fillna({"tf": 0})
+    )
+    p_td = (
+        F.lit(1.0 - lam)
+        * (F.col("tf").cast("double") + F.lit(mu) * F.col("p_t"))
+        / (F.col("dl").cast("double") + F.lit(mu))
+        + F.lit(lam) * F.col("p_t")
+    )
+    scored = full.groupBy("qid", "doc_id").agg(
+        F.sum(F.col("weight") * F.log(p_td)).alias("score")
+    )
+    return _windowed_topk(scored, index, k, rank_round)

@@ -122,3 +122,38 @@ def test_dirichlet_topk_rank_identical(spark, index_tables, oracle_index, tiny_c
         for (rank, doc_id, score), (e_doc, e_score) in zip(spark_ranked, expected):
             assert doc_id == e_doc, f"{qid} rank {rank}: {doc_id} != {e_doc}"
             assert score == pytest.approx(e_score, abs=1e-9)
+
+
+def test_two_stage_topk_rank_identical(spark, index_tables, oracle_index, tiny_corpus):
+    """method:two smoothing (the reference's CDS14 rule) rank-identical
+    to the pure-Python oracle, including absent-term (tf=0)
+    contributions on candidate docs."""
+    from collections import Counter
+
+    from sequential_query_expansion_spark.oracle import (
+        two_stage_topk as oracle_two,
+    )
+    from sequential_query_expansion_spark.scoring.lm import two_stage_topk
+
+    qt = query_term_table(spark.createDataFrame(tiny_corpus.queries))
+    got_rows = two_stage_topk(
+        index_tables, qt, k=K, mu=1600.0, lam=0.4, rank_round=9
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    for _, qrow in tiny_corpus.queries.iterrows():
+        qid, text = qrow["qid"], qrow["text"]
+        toks = tokenize_py(text)
+        weights = {t: float(c) for t, c in Counter(toks).items()}
+        expected = oracle_two(
+            oracle_index, sorted(set(toks)), k=K, mu=1600.0, lam=0.4,
+            weights=weights,
+        )
+        spark_ranked = got.get(qid, [])
+        assert len(spark_ranked) == len(expected), qid
+        for (rank, doc_id, score), (e_doc, e_score) in zip(spark_ranked, expected):
+            assert doc_id == e_doc, f"{qid} rank {rank}: {doc_id} != {e_doc}"
+            assert score == pytest.approx(e_score, abs=1e-9)
