@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""spark-submit entry point: batch BM25 (optionally RM3-expanded) top-k
-retrieval from a checkpointed index, writing a TREC-format run file.
+"""spark-submit entry point: batch top-k retrieval from a checkpointed
+index, writing a TREC-format run file. Rules: BM25 (default, optionally
+RM3-expanded), Dirichlet QL (--method dir, Indri method:dir) or
+two-stage smoothing (--method two, Indri method:two).
 
     spark-submit --py-files sqe.zip jobs/query_job.py \
         --index <index dir> --topics <topics file> --output <run dir> \
-        [--k 1000] [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7]
+        [--k 1000] [--method bm25|dir|two] [--mu 1600] [--lam 0.4] \
+        [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7]
 
 Topics format: `qid:text` lines (clueWeb style) or TREC SGML (auto by
 extension .sgml). Local smoke:
@@ -29,6 +32,14 @@ def main() -> int:
     ap.add_argument("--topics", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--method", default="bm25",
+                    choices=["bm25", "dir", "two"],
+                    help="retrieval rule: bm25 (contract-pinned), dir "
+                         "(Dirichlet QL, Indri method:dir) or two "
+                         "(two-stage smoothing, Indri method:two)")
+    ap.add_argument("--mu", type=float, default=1600.0)
+    ap.add_argument("--lam", type=float, default=0.4,
+                    help="JM mixing weight for --method two")
     ap.add_argument("--rm3", action="store_true")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=20)
@@ -55,10 +66,20 @@ def main() -> int:
         topics = trec.read_topics_lines(spark, args.topics)
     qt = query_term_table(topics)
     if args.rm3:
+        if args.method != "bm25":
+            raise SystemExit("--rm3 runs over the BM25 rule only")
         run = rm3_topk(
             idx, qt, k=args.k, fb_docs=args.fb_docs,
             fb_terms=args.fb_terms, orig_weight=args.orig_weight,
         )
+    elif args.method == "dir":
+        from sequential_query_expansion_spark.scoring.lm import dirichlet_topk
+
+        run = dirichlet_topk(idx, qt, k=args.k, mu=args.mu)
+    elif args.method == "two":
+        from sequential_query_expansion_spark.scoring.lm import two_stage_topk
+
+        run = two_stage_topk(idx, qt, k=args.k, mu=args.mu, lam=args.lam)
     else:
         run = score_topk(idx, qt, k=args.k)
     trec.write_trec_run(run, args.output, tag="sqe-spark")

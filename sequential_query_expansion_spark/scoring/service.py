@@ -81,3 +81,16 @@ class QueryService:
             out = _rm3(self.index, query_terms, k=k, **kw).cache()
             out.count()
             return out
+
+    def lm_topk(self, query_terms: DataFrame, k: int = 10,
+                method: str = "dir", **kw) -> DataFrame:
+        """Serve the reference's LM rules (scoring/lm.py): method 'dir'
+        (Dirichlet) or 'two' (two-stage) with the same point-query
+        exchange sizing as topk()."""
+        from . import lm
+
+        fn = {"dir": lm.dirichlet_topk, "two": lm.two_stage_topk}[method]
+        with self._serving_conf():
+            out = fn(self.index, query_terms, k=k, **kw).cache()
+            out.count()
+            return out
