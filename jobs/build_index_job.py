@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--salt-ranges", type=int, default=8)
+    ap.add_argument("--codec", default="varint", choices=["varint", "pfor"],
+                    help="posting-block codec (varint: fastest encode for "
+                         "ingest; pfor: smaller + faster decode — or keep "
+                         "varint here and re-encode via maintain_index_job "
+                         "--compact --codec pfor)")
     args = ap.parse_args()
 
     # under spark-submit the cluster conf wins; standalone falls back to
@@ -61,6 +66,7 @@ def main() -> int:
     idx = build_index_checkpointed(
         spark, docs, args.output,
         salt_ranges=args.salt_ranges, num_buckets=args.num_buckets,
+        codec=args.codec,
     )
     print(f"indexed {idx.n_docs} docs, avgdl={idx.avgdl:.2f} -> {args.output}")
     return 0

@@ -90,6 +90,7 @@ def build_index_checkpointed(
     salt_ranges: int = 8,
     num_buckets: int = NUM_BUCKETS,
     with_positions: bool = False,
+    codec: str = "varint",
 ) -> IndexTables:
     """docs(doc_id, text) -> IndexTables, all stages checkpointed under
     ``out_dir``; safe to re-invoke after a crash — finished stages and
@@ -167,7 +168,7 @@ def build_index_checkpointed(
             t0 = time.perf_counter()
             blocked = build_blocked_postings(
                 remaining, n_docs, avgdl, salt_ranges=salt_ranges,
-                num_buckets=num_buckets,
+                num_buckets=num_buckets, codec=codec,
             )
             blocked.write.mode("append").partitionBy("bucket").parquet(
                 postings_path
