@@ -66,11 +66,12 @@ def main() -> int:
         topics = trec.read_topics_lines(spark, args.topics)
     qt = query_term_table(topics)
     if args.rm3:
-        if args.method != "bm25":
-            raise SystemExit("--rm3 runs over the BM25 rule only")
+        if args.method == "two":
+            raise SystemExit("--rm3 supports --method bm25 or dir")
         run = rm3_topk(
             idx, qt, k=args.k, fb_docs=args.fb_docs,
             fb_terms=args.fb_terms, orig_weight=args.orig_weight,
+            method=("dir" if args.method == "dir" else "bm25"), mu=args.mu,
         )
     elif args.method == "dir":
         from sequential_query_expansion_spark.scoring.lm import dirichlet_topk

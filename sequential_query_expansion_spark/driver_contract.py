@@ -319,6 +319,27 @@ def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 PRF with Dirichlet-LM feedback and final pass (the
+    reference's actual Indri PRF configuration — fbDocs/fbTerms under
+    method:dir): feedback-doc posteriors are a softmax over log-QL
+    scores (expansion/rm3.py method='dir')."""
+    from .expansion.rm3 import rm3_topk
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = rm3_topk(
+        idx, qt, k=TOPK, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+        orig_weight=ORIG_W, rank_round=RANK_ROUND, method="dir", mu=1600.0,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 def q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage-smoothing top-k (the reference's CDS14 `method:two`
     rule, configs/cds14/indriRunQuery.cfg) — scoring/lm.py."""
@@ -945,6 +966,97 @@ SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM lmtopk WHERE rank <= {TOPK}
 """
 
+    # RM3 over Dirichlet-LM feedback + final pass (method:dir PRF):
+    # posteriors = softmax(log-QL) over the top-FB_DOCS run, RM1 term
+    # weights, top-FB_TERMS renormalized, ORIG_W interpolation, then the
+    # same lm scoring with the expanded weights.
+    sql["lm_rm3_topk"] = f"""
+WITH {_BASE},
+{qterms},
+c AS (SELECT sum(cf)::DOUBLE AS c_total FROM vocab),
+wq AS (SELECT qid, sum(weight)::DOUBLE AS w_q FROM qterms GROUP BY qid),
+matched AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight * ln(1.0 + tf.tf * c.c_total / (1600.0 * v.cf))) AS m,
+         min(dl.dl) AS dl
+  FROM qterms q
+  JOIN vocab v ON v.term = q.term
+  JOIN tf ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN c
+  GROUP BY q.qid, tf.doc_id
+),
+lmscored AS (
+  SELECT m.qid, m.doc_id, m.m + wq.w_q * ln(1600.0 / (m.dl + 1600.0)) AS score
+  FROM matched m JOIN wq ON wq.qid = m.qid
+),
+lmtopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM lmscored
+),
+fbtop AS (SELECT qid, doc_id, score FROM lmtopk WHERE rank <= {FB_DOCS}),
+mx AS (SELECT qid, max(score) AS mxs FROM fbtop GROUP BY qid),
+fbe AS (SELECT f.qid, f.doc_id, exp(f.score - mx.mxs) AS e
+        FROM fbtop f JOIN mx ON mx.qid = f.qid),
+fbn AS (SELECT qid, doc_id, e / sum(e) OVER (PARTITION BY qid) AS w_doc
+        FROM fbe),
+rm1d AS (
+  SELECT fbn.qid, tf.term, sum(fbn.w_doc * tf.tf / dl.dl) AS w
+  FROM fbn
+  JOIN tf ON tf.doc_id = fbn.doc_id
+  JOIN dl ON dl.doc_id = fbn.doc_id
+  GROUP BY fbn.qid, tf.term
+),
+rm1rk AS (
+  SELECT qid, term, w,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(w, {RANK_ROUND + 3}) DESC, term) AS rn
+  FROM rm1d
+),
+rm1top AS (SELECT qid, term, w FROM rm1rk WHERE rn <= {FB_TERMS}),
+rm1n AS (
+  SELECT qid, term,
+         (1.0 - {ORIG_W}) * w / sum(w) OVER (PARTITION BY qid) AS weight
+  FROM rm1top
+),
+nq AS (SELECT qid, sum(weight)::DOUBLE AS n_q FROM qterms GROUP BY qid),
+origd AS (
+  SELECT q.qid, q.term, {ORIG_W} * q.weight / nq.n_q AS weight
+  FROM qterms q JOIN nq ON nq.qid = q.qid
+),
+expd AS (
+  SELECT qid, term, sum(weight) AS weight
+  FROM (SELECT * FROM origd UNION ALL SELECT * FROM rm1n)
+  GROUP BY qid, term
+),
+wq2 AS (SELECT qid, sum(weight)::DOUBLE AS w_q FROM expd GROUP BY qid),
+matched2 AS (
+  SELECT e.qid, tf.doc_id,
+         sum(e.weight * ln(1.0 + tf.tf * c.c_total / (1600.0 * v.cf))) AS m,
+         min(dl.dl) AS dl
+  FROM expd e
+  JOIN vocab v ON v.term = e.term
+  JOIN tf ON e.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN c
+  GROUP BY e.qid, tf.doc_id
+),
+lmscored2 AS (
+  SELECT m.qid, m.doc_id, m.m + wq2.w_q * ln(1600.0 / (m.dl + 1600.0)) AS score
+  FROM matched2 m JOIN wq2 ON wq2.qid = m.qid
+),
+lmtopk2 AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM lmscored2
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM lmtopk2 WHERE rank <= {TOPK}
+"""
+
     # Two-stage smoothing (method:two, mu=1600, lambda=0.4). Candidates
     # match >= 1 in-vocab term; EVERY in-vocab query term contributes
     # (tf=0 when absent): p(t|d) = 0.6*(tf + mu*p_t)/(dl+mu) + 0.4*p_t.
@@ -1529,6 +1641,7 @@ SPARK_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
     "lm_topk": q_lm_topk,
+    "lm_rm3_topk": q_lm_rm3_topk,
     "two_stage_topk": q_two_stage_topk,
     "rm3_expansion": q_rm3_expansion,
     "bm25_rm3_topk": q_bm25_rm3_topk,

@@ -39,6 +39,8 @@ def rm3_expand_df(
     k1: float = K1,
     b: float = B,
     rank_round: int | None = None,
+    method: str = "bm25",
+    mu: float = 1600.0,
 ) -> DataFrame:
     """query_terms(qid, term, weight) -> expanded (qid, term, weight).
 
@@ -46,15 +48,32 @@ def rm3_expand_df(
     ``query_term_table`` emits); output weights are the interpolated RM3
     distribution. ``rank_round`` ranks feedback docs and fb_terms on
     rounded values (cross-engine float-jitter guard; see score_topk).
-    """
-    top = score_topk(
-        index, query_terms, k=fb_docs, k1=k1, b=b, rank_round=rank_round
-    ).select("qid", "doc_id", "score")
 
+    ``method``: feedback run + doc-weighting model. "bm25" (default,
+    north_rule-pinned): doc weight = score / Σ score. "dir" (the
+    reference's actual Indri LM PRF): the feedback run is Dirichlet QL
+    and its LOG scores become posteriors via a per-qid stable softmax —
+    score-proportional weights would be meaningless (and sign-broken)
+    for log probabilities.
+    """
     w_tot = Window.partitionBy("qid")
-    fb = top.withColumn("w_doc", F.col("score") / F.sum("score").over(w_tot)).select(
-        "qid", "doc_id", "w_doc"
-    )
+    if method == "dir":
+        from ..scoring.lm import dirichlet_topk
+
+        top = dirichlet_topk(
+            index, query_terms, k=fb_docs, mu=mu, rank_round=rank_round
+        ).select("qid", "doc_id", "score")
+        e = F.exp(F.col("score") - F.max("score").over(w_tot))
+        fb = top.withColumn("e", e).withColumn(
+            "w_doc", F.col("e") / F.sum("e").over(w_tot)
+        ).select("qid", "doc_id", "w_doc")
+    else:
+        top = score_topk(
+            index, query_terms, k=fb_docs, k1=k1, b=b, rank_round=rank_round
+        ).select("qid", "doc_id", "score")
+        fb = top.withColumn(
+            "w_doc", F.col("score") / F.sum("score").over(w_tot)
+        ).select("qid", "doc_id", "w_doc")
 
     # RM1: join term-major postings against the tiny feedback set.
     rm1 = (
@@ -94,11 +113,20 @@ def rm3_topk(
     k1: float = K1,
     b: float = B,
     rank_round: int | None = None,
+    method: str = "bm25",
+    mu: float = 1600.0,
 ) -> DataFrame:
     """Full expanded run: expand, then re-score (the reference's final
-    `#weight(0.7 orig 0.3 expansion)` retrieval pass)."""
+    `#weight(0.7 orig 0.3 expansion)` retrieval pass). ``method`` picks
+    the model for BOTH passes ("bm25" or "dir")."""
     expanded = rm3_expand_df(
         index, query_terms, fb_docs=fb_docs, fb_terms=fb_terms,
         orig_weight=orig_weight, k1=k1, b=b, rank_round=rank_round,
+        method=method, mu=mu,
     )
+    if method == "dir":
+        from ..scoring.lm import dirichlet_topk
+
+        return dirichlet_topk(index, expanded, k=k, mu=mu,
+                              rank_round=rank_round)
     return score_topk(index, expanded, k=k, k1=k1, b=b, rank_round=rank_round)

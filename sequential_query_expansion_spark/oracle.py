@@ -229,23 +229,38 @@ def rm3_expand(
     orig_weight: float = 0.5,
     k1: float = K1,
     b: float = B,
+    method: str = "bm25",
+    mu: float = 1600.0,
 ) -> Dict[str, float]:
     """RM3: estimate P(t|R) from the top-R feedback docs of the unexpanded
-    run (doc weight = softmax-free normalized BM25 score; term weight
-    within doc = tf/dl), keep top fb_terms, interpolate with the original
-    query's uniform ML estimate. Deterministic tie-breaks: (-weight, term).
+    run (doc weight = normalized BM25 score, or a softmax over Dirichlet
+    LOG-QL scores when method="dir"; term weight within doc = tf/dl),
+    keep top fb_terms, interpolate with the original query's uniform ML
+    estimate. Deterministic tie-breaks: (-weight, term).
     """
-    top = bm25_topk(index, query_terms, k=fb_docs, k1=k1, b=b)
-    if not top:
-        return {t: 1.0 / len(query_terms) for t in query_terms}
-    total_score = sum(s for _, s in top)
-    if total_score <= 0:
-        return {t: 1.0 / len(query_terms) for t in query_terms}
+    if method == "dir":
+        w = {t: float(c) for t, c in Counter(query_terms).items()}
+        top = dirichlet_topk(
+            index, sorted(w), k=fb_docs, mu=mu, weights=w
+        )
+        if not top:
+            return {t: 1.0 / len(query_terms) for t in query_terms}
+        mx = max(s for _, s in top)
+        exps = [(d, math.exp(s - mx)) for d, s in top]
+        z = sum(e for _, e in exps)
+        fb = {d: e / z for d, e in exps}
+    else:
+        top = bm25_topk(index, query_terms, k=fb_docs, k1=k1, b=b)
+        if not top:
+            return {t: 1.0 / len(query_terms) for t in query_terms}
+        total_score = sum(s for _, s in top)
+        if total_score <= 0:
+            return {t: 1.0 / len(query_terms) for t in query_terms}
+        fb = {doc_id: score / total_score for doc_id, score in top}
 
     rm1: Dict[str, float] = defaultdict(float)
     # invert: iterate term->postings once, probe feedback docs (matches the
     # Spark semi-join of doc_terms against the feedback doc set)
-    fb = {doc_id: score / total_score for doc_id, score in top}
     for term, plist in index.postings.items():
         for doc_id, w_doc in fb.items():
             tf = plist.get(doc_id)

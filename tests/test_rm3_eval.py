@@ -155,3 +155,47 @@ def test_bpref_with_judged_nonrelevant(spark):
     assert want == pytest.approx(0.25)
     assert got[("bpref", "q1")] == pytest.approx(want, abs=1e-9)
     assert got[("Rprec", "q1")] == pytest.approx(0.5, abs=1e-9)  # top-2 has 1 rel
+
+
+def test_rm3_dir_method_rank_identical(spark, index_tables, oracle_index, tiny_corpus):
+    """RM3 with Dirichlet-LM feedback (the reference's actual Indri PRF
+    configuration): expansion weights and the final expanded run are
+    rank-identical to the pure-python oracle, with feedback-doc
+    posteriors computed by softmax over the log-QL scores."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
+    from sequential_query_expansion_spark.functions.text import tokenize_py
+    from sequential_query_expansion_spark.oracle import (
+        dirichlet_topk as oracle_dir,
+        rm3_expand as oracle_rm3,
+    )
+    from sequential_query_expansion_spark.scoring.bm25 import query_term_table
+
+    qt = query_term_table(spark.createDataFrame(tiny_corpus.queries))
+    got_rows = rm3_topk(
+        index_tables, qt, k=20, fb_docs=5, fb_terms=10, orig_weight=0.6,
+        rank_round=9, method="dir", mu=1600.0,
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    for _, qrow in tiny_corpus.queries.iterrows():
+        qid, text = qrow["qid"], qrow["text"]
+        toks = tokenize_py(text)
+        expanded = oracle_rm3(
+            oracle_index, toks, fb_docs=5, fb_terms=10, orig_weight=0.6,
+            method="dir", mu=1600.0,
+        )
+        expected = oracle_dir(
+            oracle_index, sorted(expanded), k=20, mu=1600.0, weights=expanded
+        )
+        spark_ranked = got.get(qid, [])
+        assert len(spark_ranked) == len(expected), qid
+        for (rank, doc_id, score), (e_doc, e_score) in zip(spark_ranked, expected):
+            assert doc_id == e_doc, f"{qid} rank {rank}: {doc_id} != {e_doc}"
+            assert score == _pytest.approx(e_score, abs=1e-8)
