@@ -145,6 +145,7 @@ def run_suite(out_path: str | None = None) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     bench("bm25_topk_batch", dc.q_bm25_topk)
+    bench("lm_topk_batch", dc.q_lm_topk)
     bench("rm3_topk_batch", dc.q_bm25_rm3_topk)
     bench("phrase_topk_batch", dc.q_phrase_weighted_topk)
     bench("minhash_dedup", dc.q_minhash_dedup)

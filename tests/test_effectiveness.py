@@ -100,3 +100,20 @@ def test_cc_realism_makes_langid_recoverable(spark):
     truth = c.pages.lang.reset_index(drop=True)
     acc = (pred.sort_index().values == truth.values).mean()
     assert acc >= 0.9, acc
+
+
+def test_lm_rule_and_lm_prf_effective(setup):
+    """The LM stack mirrors the reference's method:dir numbers
+    qualitatively: the Dirichlet baseline is a reasonable run on the
+    hard corpus, and RM3-under-LM lifts its MAP the way the BM25-RM3
+    pair does (TREC7&8 0.1982 -> 0.2046 in the reference)."""
+    from sequential_query_expansion_spark.scoring.lm import dirichlet_topk
+
+    c, idx, qt, graph, map_of = setup
+    base = map_of(dirichlet_topk(idx, qt, k=100, mu=1600.0))
+    prf = map_of(
+        rm3_topk(idx, qt, k=100, fb_docs=10, fb_terms=15, orig_weight=0.6,
+                 method="dir", mu=1600.0)
+    )
+    assert base > 0.5, base
+    assert prf >= base + 0.03, (base, prf)
