@@ -82,11 +82,15 @@ def run_suite(out_path: str | None = None) -> dict:
     # python-worker spawn and a first read of the parquet files are not
     # billed to the measured build (mirrors run_build_only; observed to
     # remove a cold-cache 2-3x swing in index_build right after other
-    # heavy jobs). Use the smallest sibling sf dir; if none is smaller
-    # than SF_DIR, skip — warming with the full corpus would silently
-    # double the suite's build work.
+    # heavy jobs). Use the smallest sibling sf dir; if it is not strictly
+    # smaller than SF_DIR, skip — warming with an equal-or-larger corpus
+    # would silently double (or worse) the suite's build work.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+    meas_sf = _sf_from_dir(SF_DIR)
+    if (
+        os.path.isdir(warm_dir)
+        and (meas_sf < 0 or _sf_from_dir(warm_dir) < meas_sf)
+    ):
         _build_and_time(spark, warm_dir)
         spark.catalog.clearCache()   # drop the warmup index's cached tables
 

@@ -56,6 +56,12 @@ def rm3_expand_df(
     score-proportional weights would be meaningless (and sign-broken)
     for log probabilities.
     """
+    if method not in ("bm25", "dir"):
+        raise ValueError(
+            f"unknown RM3 method {method!r}; choose 'bm25' or 'dir' "
+            "(two-stage smoothing has no standard relevance-model "
+            "posterior and is not supported for PRF)"
+        )
     w_tot = Window.partitionBy("qid")
     if method == "dir":
         from ..scoring.lm import dirichlet_topk

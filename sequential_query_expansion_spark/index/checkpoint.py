@@ -209,6 +209,16 @@ def build_index_checkpointed(
 
 
 def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
+    if os.path.exists(os.path.join(out_dir, "_COMPACTING")):
+        # a compact crashed (or is running) somewhere between its first
+        # rewrite and its final commit — flat/doc/vocab/stats/blocked
+        # may disagree about deleted docs; every compact step is
+        # idempotent, so the repair is to re-run it
+        raise ValueError(
+            f"index at {out_dir} has an unfinished compact "
+            "(_COMPACTING sentinel present); re-run compact_index to "
+            "bring it to a consistent state."
+        )
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     got = stats.get("block_format", 1)

@@ -42,9 +42,11 @@ TAG_PFOR = 0x50    # 'P'
 CODECS = ("varint", "pfor")
 
 # bump when the on-disk buffer layout changes; stamped into stats.json by
-# the checkpointed build and checked by load_index (format 1 = untagged
-# varint, unreadable by this version's tag-dispatching decoder)
-BLOCK_FORMAT = 2
+# the checkpointed build and checked by load_index.
+#   1 = untagged varint (unreadable by the tag-dispatching decoder)
+#   2 = tagged buffers, pfor header '<BHH' (u16 exception counts)
+#   3 = tagged buffers, pfor header '<BII' (u32 counts — current)
+BLOCK_FORMAT = 3
 
 
 def varint_encode(values: np.ndarray) -> bytes:

@@ -158,6 +158,16 @@ def compact_index(spark: SparkSession, out_dir: str,
     from .codec import CODECS
     if codec not in CODECS:
         raise ValueError(f"unknown codec {codec!r}; choose from {CODECS}")
+    # in-progress sentinel: every rewrite below is idempotent while the
+    # tombstones survive, so a crash at ANY point (not just the
+    # blocked/stats window the generation id covers — e.g. after the
+    # flat rewrite but before the stats refresh) is repaired by simply
+    # re-running compact; the sentinel makes load_index refuse the
+    # intermediate state instead of serving flat/blocked tables that
+    # disagree about deleted docs
+    sentinel = os.path.join(out_dir, "_COMPACTING")
+    with open(sentinel, "w") as f:
+        f.write("1")
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     salt_ranges = stats.get("salt_ranges", 8)
@@ -280,4 +290,5 @@ def compact_index(spark: SparkSession, out_dir: str,
 
     if tomb is not None:
         shutil.rmtree(_tomb_path(out_dir))
+    os.remove(sentinel)
     return load_index(spark, out_dir)

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from ..index.build import IndexTables
 
 
+def _collection_size(index: IndexTables) -> float:
+    """Total collection terms C = Σ cf = Σ dl. Recovered WITHOUT a Spark
+    job: avgdl is Σ dl / n_docs in float64, so n_docs·avgdl is Σ dl to
+    within a few ulp and rounding restores the exact integer (Σ dl is far
+    below 2^53) — keeps the serving path free of a per-query vocab scan."""
+    return float(round(index.n_docs * index.avgdl))
+
+
 def dirichlet_topk(
     index: IndexTables,
     query_terms: DataFrame,
@@ -43,8 +51,7 @@ def dirichlet_topk(
     Same output contract as ``score_topk``; ``mu`` mirrors the
     reference's per-collection rule (1600 TREC7&8, 1400 Robust04).
     """
-    # collection size C = Σ cf — one vocab-sized scalar aggregate
-    c_total = float(index.vocab.agg(F.sum("cf")).head()[0] or 0.0)
+    c_total = _collection_size(index)
 
     qt = query_terms.join(
         index.vocab.select("term", "cf"), "term"
@@ -114,7 +121,7 @@ def two_stage_topk(
     small by construction — and tf defaults to 0 on the left join. The
     big postings side is only ever touched by broadcast joins.
     """
-    c_total = float(index.vocab.agg(F.sum("cf")).head()[0] or 0.0)
+    c_total = _collection_size(index)
     qt = query_terms.join(index.vocab.select("term", "cf"), "term").select(
         "qid", "term", "weight",
         (F.col("cf").cast("double") / F.lit(c_total)).alias("p_t"),
@@ -149,4 +156,9 @@ def two_stage_topk(
     scored = full.groupBy("qid", "doc_id").agg(
         F.sum(F.col("weight") * F.log(p_td)).alias("score")
     )
-    return _windowed_topk(scored, index, k, rank_round)
+    out = _windowed_topk(scored, index, k, rank_round)
+    # let eager callers (QueryService) release the candidate cache once
+    # the result is materialized — a long-lived serving session would
+    # otherwise accumulate one persisted DataFrame per query
+    out._sqe_intermediates = [pairs]
+    return out

@@ -91,6 +91,12 @@ class QueryService:
 
         fn = {"dir": lm.dirichlet_topk, "two": lm.two_stage_topk}[method]
         with self._serving_conf():
-            out = fn(self.index, query_terms, k=k, **kw).cache()
-            out.count()
-            return out
+            out = fn(self.index, query_terms, k=k, **kw)
+            cached = out.cache()
+            cached.count()
+            # the result is materialized; release any per-query
+            # intermediate caches the scorer registered (two-stage's
+            # candidate table) so long-lived serving stays bounded
+            for df in getattr(out, "_sqe_intermediates", []):
+                df.unpersist()
+            return cached

@@ -207,3 +207,25 @@ def test_compact_rejects_unknown_codec_before_rewriting(spark, tmp_path_factory)
         mt.compact_index(spark, out, codec="pforr")
     # nothing was rewritten
     assert sorted(glob.glob(os.path.join(out, "postings_flat", "*", "*"))) == before
+
+
+def test_unfinished_compact_sentinel_blocks_load(spark, tmp_path_factory):
+    """A compact that crashed between its FIRST rewrite and its final
+    commit leaves the _COMPACTING sentinel; load_index must refuse the
+    (possibly flat/blocked-inconsistent) state until compact re-runs."""
+    from sequential_query_expansion_spark.index.checkpoint import load_index
+
+    out = str(tmp_path_factory.mktemp("sentinel"))
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"),
+    )
+    build_index_checkpointed(spark, docs, out, salt_ranges=2, num_buckets=4)
+    # simulate the crash window
+    with open(os.path.join(out, "_COMPACTING"), "w") as f:
+        f.write("1")
+    with pytest.raises(ValueError, match="unfinished compact"):
+        load_index(spark, out)
+    # re-running compact clears it and restores service
+    mt.compact_index(spark, out)
+    assert load_index(spark, out).n_docs == 30
