@@ -8,6 +8,8 @@ Measured stages:
   bm25_q*          — per-query BM25 top-k latency (p50/p99 reported)
   bm25_topk_batch  — all queries in one scoring join
   rm3_topk_batch   — sequential RM3 expansion + expanded re-run
+  serving_*        — checkpoint publish cost + per-query latency of the
+                     no-Spark serving tier (scoring/local.LocalSearcher)
   minhash_dedup    — MinHash→LSH→verify near-dup pairs over documents
   cosine_topk      — brute-force cosine ANN for 4 probes
   eval_metrics     — MAP/P@10/NDCG/MRR aggregation
@@ -142,6 +144,43 @@ def run_suite(out_path: str | None = None) -> dict:
     timings["rm3_p99"] = round(
         sorted(per_q_x)[max(0, int(len(per_q_x) * 0.99) - 1)], 3
     )
+
+    # serving-tier per-query latency: LocalSearcher answers the same
+    # queries straight off the checkpointed on-disk index with ZERO
+    # Spark jobs (client-side bucket pruning + term-filtered parquet
+    # reads + the shared WAND kernel) — the IndriRunQuery analogue.
+    # serving_checkpoint is the one-time publish cost (Spark writes the
+    # blocked index to disk); serving_p50/p99 are what a stateless
+    # replica pays per query once the index is mounted.
+    from sequential_query_expansion_spark.scoring.local import LocalSearcher
+    from sequential_query_expansion_spark.webtext import disk_index_dir
+
+    t0 = time.perf_counter()
+    srv_dir = disk_index_dir(spark, SF_DIR)
+    timings["serving_checkpoint"] = round(time.perf_counter() - t0, 3)
+    searcher = LocalSearcher(srv_dir)
+    qterms = {
+        r["qid"]: []
+        for r in qt_all.select("qid").distinct().collect()
+    }
+    for r in qt_all.collect():
+        qterms[r["qid"]].append((r["term"], r["weight"]))
+    searcher.batch_topk(qterms, k=10)  # warm the term cache once
+    per_q_s = []
+    for qid in sorted(qterms):
+        t0 = time.perf_counter()
+        searcher.topk(qterms[qid], k=10)
+        per_q_s.append(time.perf_counter() - t0)
+    timings["serving_p50"] = round(statistics.median(per_q_s), 4)
+    timings["serving_p99"] = round(
+        sorted(per_q_s)[max(0, int(len(per_q_s) * 0.99) - 1)], 4
+    )
+    # cold-cache point query (term cache dropped, parquet still in page
+    # cache): the honest per-replica first-touch number
+    searcher._terms.clear()
+    t0 = time.perf_counter()
+    searcher.topk(qterms[sorted(qterms)[0]], k=10)
+    timings["serving_cold"] = round(time.perf_counter() - t0, 4)
 
     def bench(name, fn):
         t0 = time.perf_counter()

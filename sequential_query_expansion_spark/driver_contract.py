@@ -302,6 +302,34 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier BM25 top-k: ``LocalSearcher`` answers the query set
+    straight off the checkpointed blocked index (client-side xxh64
+    bucket pruning + pyarrow term-filtered reads + the numpy WAND
+    kernel, zero Spark jobs per query — the IndriRunQuery analogue).
+    Must hash-match the SAME DuckDB scoring-join oracle as bm25_topk:
+    one ranking contract across all three surfaces (batch join, Spark
+    WAND, serving tier)."""
+    from .scoring.local import LocalSearcher
+    from .webtext import disk_index_dir
+
+    searcher = LocalSearcher(disk_index_dir(spark, sf_dir))
+    qmap: dict[str, list] = {}
+    for qid, term, w in query_term_rows():
+        qmap.setdefault(qid, []).append((term, w))
+    rows = []
+    for qid in sorted(qmap):
+        res = searcher.topk(qmap[qid], k=TOPK)
+        # re-rank on the ROUNDED key exactly like score_topk/wand_topk's
+        # final window (cross-engine float policy, module docstring)
+        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
+    return spark.createDataFrame(
+        rows, "qid string, doc_id long, rank long, score double"
+    )
+
+
 def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood top-k (the reference's `method:dir,
     mu:1600` rule, configs/trec7n8) — same query set and top-k contract
@@ -933,6 +961,8 @@ FROM topk WHERE rank <= {TOPK}
 """
     # WAND must produce the identical result set through the compressed path
     sql["bm25_topk_wand"] = sql["bm25_topk"]
+    # ... and so must the serving tier reading the same index off disk
+    sql["local_wand_topk"] = sql["bm25_topk"]
 
     # Dirichlet query likelihood (method:dir, mu:1600). C = Σ cf; docs
     # matching ≥1 query term score Σ w·ln(1 + tf·C/(mu·cf)) + W_q·ln(mu/(dl+mu)).
@@ -1640,6 +1670,7 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "local_wand_topk": q_local_wand_topk,
     "lm_topk": q_lm_topk,
     "lm_rm3_topk": q_lm_rm3_topk,
     "two_stage_topk": q_two_stage_topk,

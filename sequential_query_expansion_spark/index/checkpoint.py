@@ -208,7 +208,11 @@ def build_index_checkpointed(
     return load_index(spark, out_dir)
 
 
-def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
+def validate_index_dir(out_dir: str) -> dict:
+    """Shared consistency gate for every reader of an on-disk index
+    (Spark ``load_index`` and the serving-tier ``LocalSearcher``):
+    refuses torn compacts and unreadable block formats, returns stats.
+    """
     if os.path.exists(os.path.join(out_dir, "_COMPACTING")):
         # a compact crashed (or is running) somewhere between its first
         # rewrite and its final commit — flat/doc/vocab/stats/blocked
@@ -249,6 +253,11 @@ def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
             f"{stats.get('generation')!r} != blocked generation "
             f"{gen_on_disk!r}); re-run compact_index to repair."
         )
+    return stats
+
+
+def load_index(spark: SparkSession, out_dir: str) -> IndexTables:
+    stats = validate_index_dir(out_dir)
     flat = spark.read.parquet(os.path.join(out_dir, "postings_flat")).drop("bucket")
     pos_path = os.path.join(out_dir, "positional")
     positional = (

@@ -1,0 +1,174 @@
+"""Serving-tier point queries straight off the on-disk blocked index.
+
+The reference answers queries with a long-lived IndriRunQuery process
+that memory-maps its index files (configs/*/indriRunQuery.cfg,
+umls/umlsSeqPubMed.ipynb:31348) — per-query cost is a few posting-list
+reads, never a cluster job. The Spark-side analogue (scoring/service.py)
+is floor-bound by job scheduling (~0.5 s/query on local[32] regardless
+of corpus size). ``LocalSearcher`` closes that gap: it reads the SAME
+checkpointed index the Spark jobs write (index/checkpoint.py layout) and
+serves BM25 top-k rank-identically in milliseconds.
+
+Why this is the right 100 TB architecture and not a local-mode hack:
+- the blocked postings live partitioned by ``bucket = pmod(xxhash64(
+  term), num_buckets)``; the searcher recomputes the bucket client-side
+  (index/xxh64.py) and opens ONLY those bucket directories — at cluster
+  scale that is object-store partition pruning, so per-query I/O is
+  O(query terms' postings), independent of corpus size;
+- inside a bucket, parquet row-group statistics on ``term`` prune
+  further (pyarrow pushes the ``term ∈ {...}`` filter down);
+- scoring reuses the numpy block-max WAND kernel (scoring/wand.py
+  ``_wand_kernel``) byte-for-byte, so serving results are
+  rank-identical to ``wand_topk`` / ``score_topk`` by construction —
+  one kernel, three surfaces (batch Spark, QueryService, serving tier);
+- Spark stays the system of record: builds, merges, compacts and
+  deletes go through the cluster; any number of stateless searcher
+  replicas mount the index read-only (the validate_index_dir gate
+  refuses torn compacts exactly like the Spark reader).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.compute as pc
+
+from ..index.build import B, K1
+from ..index.checkpoint import validate_index_dir
+from ..index.xxh64 import term_bucket
+from .wand import _wand_kernel
+
+_TERM_CACHE_SIZE = 4096  # hot-vocabulary cache (term -> df/blocks row)
+
+
+class LocalSearcher:
+    """Read-only BM25 top-k over a checkpointed index directory.
+
+    ``topk`` results are rank-identical to ``scoring.bm25.score_topk``
+    and ``scoring.wand.wand_topk`` on the same index (same kernel, same
+    (score desc, doc_id asc) tie-break) — pinned by
+    tests/test_local_search.py against both codecs.
+    """
+
+    def __init__(self, out_dir: str, k1: float = K1, b: float = B):
+        stats = validate_index_dir(out_dir)
+        self.out_dir = out_dir
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.num_buckets = int(stats["num_buckets"])
+        self.k1, self.b = float(k1), float(b)
+        self._postings_dir = os.path.join(out_dir, "postings")
+        self._docmap_dir = os.path.join(out_dir, "docmap")
+        # LRU of term -> {"df": int, "blocks": [block dicts]} | None
+        self._terms: OrderedDict[str, dict | None] = OrderedDict()
+
+    # -- index reads --------------------------------------------------
+
+    def _fetch_terms(self, terms: list[str]) -> dict[str, dict | None]:
+        """Load postings rows for ``terms``; None for absent terms.
+
+        One pyarrow read per distinct bucket, filtered to that bucket's
+        wanted terms (row-group pruning applies on the term column).
+        """
+        out: dict[str, dict | None] = {}
+        missing_by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            if t in self._terms:
+                self._terms.move_to_end(t)
+                out[t] = self._terms[t]
+            else:
+                missing_by_bucket.setdefault(
+                    term_bucket(t, self.num_buckets), []
+                ).append(t)
+        for bucket, ts in missing_by_bucket.items():
+            bdir = os.path.join(self._postings_dir, f"bucket={bucket}")
+            found: dict[str, dict] = {}
+            if os.path.isdir(bdir):
+                dset = pads.dataset(bdir, format="parquet")
+                tbl = dset.to_table(
+                    columns=["term", "df", "blocks"],
+                    filter=pc.field("term").isin(ts),
+                )
+                for row in tbl.to_pylist():
+                    found[row["term"]] = {
+                        "df": int(row["df"]), "blocks": row["blocks"]
+                    }
+            for t in ts:
+                got = found.get(t)
+                self._terms[t] = got
+                out[t] = got
+        while len(self._terms) > _TERM_CACHE_SIZE:
+            self._terms.popitem(last=False)
+        return out
+
+    def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url from the docmap checkpoint (result-page joins).
+
+        The docmap is written range-partitioned by url, not keyed by
+        doc_id, so this is a filtered scan — fine for top-k-sized id
+        lists; a serving deployment that needs bulk reverse lookups
+        should sort the docmap by doc_id at publish time.
+        """
+        dset = pads.dataset(self._docmap_dir, format="parquet")
+        tbl = dset.to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
+        )
+        return {int(r["doc_id"]): r["url"] for r in tbl.to_pylist()}
+
+    # -- scoring ------------------------------------------------------
+
+    def topk(self, query_terms, k: int = 10) -> list[tuple[int, float]]:
+        """``query_terms``: {term: weight} or [(term, weight), ...] (a
+        bare list of terms gets weight 1.0 each, duplicates summed).
+        Returns [(doc_id, score)] sorted (score desc, doc_id asc).
+        """
+        weights: dict[str, float] = {}
+        if isinstance(query_terms, dict):
+            items = query_terms.items()
+        else:
+            items = [
+                (t, 1.0) if isinstance(t, str) else (t[0], float(t[1]))
+                for t in query_terms
+            ]
+        for t, w in items:
+            weights[t] = weights.get(t, 0.0) + float(w)
+
+        rows = self._fetch_terms(list(weights))
+        recs = [
+            {
+                "qid": "_q",
+                "term": t,
+                "weight": weights[t],
+                "df": got["df"],
+                "blocks": got["blocks"],
+            }
+            for t, got in rows.items()
+            if got is not None
+        ]
+        if not recs:
+            return []
+        res = _wand_kernel(
+            pd.DataFrame(recs), k, self.n_docs, self.avgdl, self.k1, self.b
+        )
+        return [
+            (int(d), float(s))
+            for d, s in zip(res["doc_id"].tolist(), res["score"].tolist())
+        ]
+
+    def batch_topk(
+        self, queries: dict[str, object], k: int = 10
+    ) -> dict[str, list[tuple[int, float]]]:
+        """{qid: query_terms} -> {qid: topk(...)}; terms are fetched in
+        one pass across queries so shared vocabulary is read once."""
+        all_terms: set[str] = set()
+        for q in queries.values():
+            if isinstance(q, dict):
+                all_terms.update(q)
+            else:
+                all_terms.update(t if isinstance(t, str) else t[0] for t in q)
+        self._fetch_terms(sorted(all_terms))  # warm the cache in one read
+        return {qid: self.topk(q, k=k) for qid, q in queries.items()}

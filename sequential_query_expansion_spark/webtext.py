@@ -92,6 +92,24 @@ def doc_index(spark: SparkSession, sf_dir: str, blocked: bool = False) -> IndexT
     return idx
 
 
+def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed on-disk index over documents (memoized per sf_dir);
+    backs the serving-tier contract entry (scoring/local.LocalSearcher
+    reads it without Spark) and the bench serving lines."""
+    import tempfile
+
+    from .index.checkpoint import build_index_checkpointed
+
+    key = (sf_dir, "disk")
+    if key not in _INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="sqe_srvidx_")
+        build_index_checkpointed(
+            spark, load_documents(spark, sf_dir).select("doc_id", "text"), out
+        )
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
 def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized positional postings (term, doc_id, positions) over the
     documents table — shared by the phrase-counting and phrase-scoring
