@@ -310,6 +310,14 @@ def q_local_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Must hash-match the SAME DuckDB scoring-join oracle as bm25_topk:
     one ranking contract across all three surfaces (batch join, Spark
     WAND, serving tier)."""
+    return _local_searcher_run(spark, sf_dir)
+
+
+def _local_searcher_run(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Run the contract query set through ``LocalSearcher`` (kwargs pick
+    the rule: none = BM25/WAND, method="dir"/"two" = the LM rules) and
+    re-rank on the ROUNDED score key exactly like score_topk/wand_topk's
+    final window (cross-engine float policy, module docstring)."""
     from .scoring.local import LocalSearcher
     from .webtext import disk_index_dir
 
@@ -319,15 +327,30 @@ def q_local_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qmap.setdefault(qid, []).append((term, w))
     rows = []
     for qid in sorted(qmap):
-        res = searcher.topk(qmap[qid], k=TOPK)
-        # re-rank on the ROUNDED key exactly like score_topk/wand_topk's
-        # final window (cross-engine float policy, module docstring)
+        if kw:
+            res = searcher.lm_topk(qmap[qid], k=TOPK, **kw)
+        else:
+            res = searcher.topk(qmap[qid], k=TOPK)
         res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
         for rank, (doc_id, score) in enumerate(res, 1):
             rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
     return spark.createDataFrame(
         rows, "qid string, doc_id long, rank long, score double"
     )
+
+
+def q_local_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier Dirichlet query likelihood (IndriRunQuery's default
+    `method:dir,mu:1600` rule served without Spark): ``LocalSearcher.
+    lm_topk(method="dir")`` must hash-match the SAME DuckDB oracle as
+    lm_topk — the ranking contract holds across batch and serving."""
+    return _local_searcher_run(spark, sf_dir, method="dir", mu=1600.0)
+
+
+def q_local_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier two-stage smoothing (`method:two`, the reference's
+    CDS14 headline rule) — shares two_stage_topk's DuckDB oracle."""
+    return _local_searcher_run(spark, sf_dir, method="two", mu=1600.0, lam=0.4)
 
 
 def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1128,6 +1151,10 @@ SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM tstopk WHERE rank <= {TOPK}
 """
 
+    # the serving tier must reproduce both LM rules off the same index
+    sql["local_lm_topk"] = sql["lm_topk"]
+    sql["local_two_stage_topk"] = sql["two_stage_topk"]
+
     sql["rm3_expansion"] = f"""
 WITH {_BASE},
 {qterms},
@@ -1671,6 +1698,8 @@ SPARK_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
     "local_wand_topk": q_local_wand_topk,
+    "local_lm_topk": q_local_lm_topk,
+    "local_two_stage_topk": q_local_two_stage_topk,
     "lm_topk": q_lm_topk,
     "lm_rm3_topk": q_lm_rm3_topk,
     "two_stage_topk": q_two_stage_topk,

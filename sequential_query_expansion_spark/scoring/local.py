@@ -29,15 +29,18 @@ Why this is the right 100 TB architecture and not a local-mode hack:
 
 from __future__ import annotations
 
+import math
 import os
 from collections import OrderedDict
 
+import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
 import pyarrow.compute as pc
 
 from ..index.build import B, K1
 from ..index.checkpoint import validate_index_dir
+from ..index.codec import decode_block
 from ..index.xxh64 import term_bucket
 from .wand import _wand_kernel
 
@@ -45,11 +48,12 @@ _TERM_CACHE_SIZE = 4096  # hot-vocabulary cache (term -> df/blocks row)
 
 
 class LocalSearcher:
-    """Read-only BM25 top-k over a checkpointed index directory.
+    """Read-only retrieval over a checkpointed index directory.
 
-    ``topk`` results are rank-identical to ``scoring.bm25.score_topk``
-    and ``scoring.wand.wand_topk`` on the same index (same kernel, same
-    (score desc, doc_id asc) tie-break) — pinned by
+    ``topk`` (BM25/WAND) results are rank-identical to
+    ``scoring.bm25.score_topk`` and ``scoring.wand.wand_topk``;
+    ``lm_topk`` (method:dir / method:two) to ``scoring.lm``'s scorers —
+    same formulas, same (score desc, doc_id asc) tie-break, pinned by
     tests/test_local_search.py against both codecs.
     """
 
@@ -121,11 +125,10 @@ class LocalSearcher:
 
     # -- scoring ------------------------------------------------------
 
-    def topk(self, query_terms, k: int = 10) -> list[tuple[int, float]]:
-        """``query_terms``: {term: weight} or [(term, weight), ...] (a
-        bare list of terms gets weight 1.0 each, duplicates summed).
-        Returns [(doc_id, score)] sorted (score desc, doc_id asc).
-        """
+    @staticmethod
+    def _weights(query_terms) -> dict[str, float]:
+        """Normalize {term: w} / [(term, w), ...] / [term, ...] to a
+        weight dict (bare terms get 1.0; duplicates sum)."""
         weights: dict[str, float] = {}
         if isinstance(query_terms, dict):
             items = query_terms.items()
@@ -136,7 +139,14 @@ class LocalSearcher:
             ]
         for t, w in items:
             weights[t] = weights.get(t, 0.0) + float(w)
+        return weights
 
+    def topk(self, query_terms, k: int = 10) -> list[tuple[int, float]]:
+        """``query_terms``: {term: weight} or [(term, weight), ...] (a
+        bare list of terms gets weight 1.0 each, duplicates summed).
+        Returns [(doc_id, score)] sorted (score desc, doc_id asc).
+        """
+        weights = self._weights(query_terms)
         rows = self._fetch_terms(list(weights))
         recs = [
             {
@@ -160,10 +170,11 @@ class LocalSearcher:
         ]
 
     def batch_topk(
-        self, queries: dict[str, object], k: int = 10
+        self, queries: dict[str, object], k: int = 10, **kw
     ) -> dict[str, list[tuple[int, float]]]:
         """{qid: query_terms} -> {qid: topk(...)}; terms are fetched in
-        one pass across queries so shared vocabulary is read once."""
+        one pass across queries so shared vocabulary is read once.
+        Extra kwargs (method=, mu=, ...) route through ``lm_topk``."""
         all_terms: set[str] = set()
         for q in queries.values():
             if isinstance(q, dict):
@@ -171,4 +182,96 @@ class LocalSearcher:
             else:
                 all_terms.update(t if isinstance(t, str) else t[0] for t in q)
         self._fetch_terms(sorted(all_terms))  # warm the cache in one read
+        if kw:
+            return {qid: self.lm_topk(q, k=k, **kw) for qid, q in queries.items()}
         return {qid: self.topk(q, k=k) for qid, q in queries.items()}
+
+    # -- language-model scoring (Indri method:dir / method:two) --------
+
+    @staticmethod
+    def _decode_term(got: dict):
+        """Decode a term's full posting list -> (doc_ids, tfs, dls)
+        float64/int64 arrays concatenated across blocks (doc-sorted:
+        blocks are written in ascending doc order)."""
+        ds, ts, ls = [], [], []
+        for blk in got["blocks"]:
+            d, t, l = decode_block(blk["docs"], blk["tfs"], blk["dls"], blk["n"])
+            ds.append(d)
+            ts.append(t)
+            ls.append(l)
+        return (
+            np.concatenate(ds),
+            np.concatenate(ts).astype(np.float64),
+            np.concatenate(ls).astype(np.float64),
+        )
+
+    def lm_topk(
+        self,
+        query_terms,
+        k: int = 10,
+        method: str = "dir",
+        mu: float = 1600.0,
+        lam: float = 0.4,
+    ) -> list[tuple[int, float]]:
+        """Language-model top-k off the on-disk index, rank-identical to
+        the Spark scorers (scoring/lm.py): ``method="dir"`` is Dirichlet
+        query likelihood (Indri method:dir — IndriRunQuery's DEFAULT
+        rule, every reference config sets it), ``method="two"`` is
+        two-stage smoothing (method:two, the CDS14 headline rule).
+
+        There is no LM analogue of the block-max bound in the stored
+        metadata (max_score is a BM25 bound), so scoring is exhaustive
+        over the query terms' postings — exactly the per-query I/O
+        IndriRunQuery pays, still O(query terms' postings) total.
+        cf comes out of the decode for free (cf = Σ tf over the term's
+        full list, byte-identical to the vocab table's cf).
+        """
+        if method not in ("dir", "two"):
+            raise ValueError(f"unknown LM method {method!r}")
+        weights = self._weights(query_terms)
+        rows = self._fetch_terms(list(weights))
+        c_total = float(round(self.n_docs * self.avgdl))  # Σ dl, exact
+
+        decoded = {
+            t: self._decode_term(got)
+            for t, got in rows.items()
+            if got is not None
+        }
+        if not decoded:
+            return []
+
+        # candidate docs = union of the query terms' postings (docs with
+        # zero matched terms score strictly lower under both rules)
+        cands = np.unique(np.concatenate([d for d, _, _ in decoded.values()]))
+        dl = np.zeros(len(cands), dtype=np.float64)
+        for d, _, l in decoded.values():
+            dl[np.searchsorted(cands, d)] = l
+        score = np.zeros(len(cands), dtype=np.float64)
+
+        if method == "dir":
+            # Σ_t w·ln(1 + tf·C/(mu·cf)) + W_q·ln(mu/(dl+mu)); W_q sums
+            # ALL query weights incl. out-of-vocabulary terms, matching
+            # scoring/lm.dirichlet_topk's prior
+            for t, (d, tf, _) in decoded.items():
+                cf = float(tf.sum())
+                contrib = weights[t] * np.log(1.0 + tf * c_total / (mu * cf))
+                np.add.at(score, np.searchsorted(cands, d), contrib)
+            w_q = sum(weights.values())
+            score += w_q * np.log(mu / (dl + mu))
+        else:
+            # p(t|d) = (1-λ)(tf + mu·p_t)/(dl + mu) + λ·p_t, summed as
+            # w·ln p over EVERY in-vocab query term per candidate doc
+            # (absent terms take tf=0) — the same candidates × |q| cross
+            # scoring/lm.two_stage_topk materializes
+            for t, (d, tf, _) in decoded.items():
+                p_t = float(tf.sum()) / c_total
+                tf_full = np.zeros(len(cands), dtype=np.float64)
+                tf_full[np.searchsorted(cands, d)] = tf
+                p_td = (
+                    (1.0 - lam) * (tf_full + mu * p_t) / (dl + mu)
+                    + lam * p_t
+                )
+                score += weights[t] * np.log(p_td)
+
+        order = np.lexsort((cands, -score))[:k]
+        return [(int(cands[i]), float(score[i])) for i in order]

@@ -82,6 +82,84 @@ def test_local_topk_rank_identical_to_spark(spark, disk_index):
         assert got == expect, qid
 
 
+def test_local_lm_rank_identical_to_spark(spark, disk_index):
+    """lm_topk(method=dir/two) must reproduce scoring/lm.py's rankings
+    off the on-disk index — same candidates, same smoothing, same
+    (score desc, doc_id asc) tie-break."""
+    from sequential_query_expansion_spark.scoring.lm import (
+        dirichlet_topk,
+        two_stage_topk,
+    )
+
+    out_dir, idx = disk_index
+    s = LocalSearcher(out_dir)
+    queries = {
+        "q1": {"the": 1.0, "of": 0.5},
+        "q2": [("climate", 1.0), ("energy", 2.0), ("nosuchterm_zzz", 3.0)],
+    }
+    for fn, kw in [
+        (dirichlet_topk, {"method": "dir", "mu": 1600.0}),
+        (two_stage_topk, {"method": "two", "mu": 1600.0, "lam": 0.4}),
+    ]:
+        for qid, q in queries.items():
+            rows = [
+                (qid, t, w) for t, w in (
+                    q.items() if isinstance(q, dict) else q
+                )
+            ]
+            qt = spark.createDataFrame(
+                rows, "qid string, term string, weight double"
+            )
+            spark_kw = {k: v for k, v in kw.items() if k != "method"}
+            expect = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in fn(idx, qt, k=10, **spark_kw).orderBy("rank").collect()
+            ]
+            got = [(d, round(sc, 9)) for d, sc in s.lm_topk(q, k=10, **kw)]
+            assert got == expect, (kw["method"], qid)
+
+
+def test_local_lm_all_absent_terms(disk_index):
+    out_dir, _ = disk_index
+    s = LocalSearcher(out_dir)
+    assert s.lm_topk(["nosuchterm_zzz"], k=5, method="dir") == []
+    assert s.lm_topk(["nosuchterm_zzz"], k=5, method="two") == []
+
+
+def test_local_query_job_end_to_end(tmp_path, disk_index):
+    """The no-Spark run job: topics file in, valid 6-col TREC run out,
+    rankings matching the searcher API directly."""
+    import subprocess
+    import sys
+
+    out_dir, _ = disk_index
+    topics = tmp_path / "topics.txt"
+    topics.write_text("q1:the science\nq2:climate energy\n")
+    run = tmp_path / "run.txt"
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/local_query_job.py",
+            "--index", out_dir, "--topics", str(topics),
+            "--output", str(run), "--k", "5", "--method", "dir",
+            "--names", "doc_id",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = run.read_text().strip().splitlines()
+    assert lines and all(len(l.split(" ")) == 6 for l in lines)
+    s = LocalSearcher(out_dir)
+    expect = s.lm_topk(["the", "science"], k=5, method="dir")
+    got = [
+        (int(l.split(" ")[2]), float(l.split(" ")[4]))
+        for l in lines if l.startswith("q1 ")
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, a), (_, b) in zip(got, expect):
+        assert abs(a - b) < 1e-5
+
+
 def test_local_topk_all_absent_terms(disk_index):
     out_dir, _ = disk_index
     assert LocalSearcher(out_dir).topk(["nosuchterm_zzz"], k=5) == []
