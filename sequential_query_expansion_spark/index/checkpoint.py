@@ -121,7 +121,12 @@ def build_index_checkpointed(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
         flat_b.write.mode("overwrite").partitionBy("bucket").parquet(flat_path)
-        idx.docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+        # publish docmap sorted by doc_id: the serving tier's reverse
+        # lookup (LocalSearcher.urls_for) filters on doc_id, and sorted
+        # row-groups let parquet min/max stats prune the scan
+        idx.docmap.sort("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "docmap")
+        )
         idx.doc_len.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_len"))
         idx.vocab.write.mode("overwrite").parquet(os.path.join(out_dir, "vocab"))
         with open(os.path.join(out_dir, "stats.json"), "w") as f:

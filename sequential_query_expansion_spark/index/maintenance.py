@@ -223,7 +223,7 @@ def compact_index(spark: SparkSession, out_dir: str,
             p = os.path.join(out_dir, name)
             kept = spark.read.parquet(p).join(
                 F.broadcast(tomb), "doc_id", "left_anti"
-            )
+            ).sort("doc_id")  # keep the publish-time doc_id sort
             tmp = p + ".compact.tmp"
             kept.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(p)

@@ -111,10 +111,10 @@ class LocalSearcher:
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url from the docmap checkpoint (result-page joins).
 
-        The docmap is written range-partitioned by url, not keyed by
-        doc_id, so this is a filtered scan — fine for top-k-sized id
-        lists; a serving deployment that needs bulk reverse lookups
-        should sort the docmap by doc_id at publish time.
+        The checkpoint publishes the docmap SORTED by doc_id
+        (index/checkpoint.py flat stage), so this filtered read prunes
+        on parquet row-group min/max stats — top-k-sized id lists touch
+        a handful of row groups, not the whole table.
         """
         dset = pads.dataset(self._docmap_dir, format="parquet")
         tbl = dset.to_table(
