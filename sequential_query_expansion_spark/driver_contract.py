@@ -353,6 +353,27 @@ def q_local_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _local_searcher_run(spark, sf_dir, method="two", mu=1600.0, lam=0.4)
 
 
+def q_local_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier concept queries: the reference's `#weight(0.8 name
+    0.1 #od4 0.1 #uwN)` rendering answered by ``LocalSearcher.
+    concept_topk`` off the stored positional stage — shares
+    phrase_weighted_topk's DuckDB oracle (the full entry-point-1 query
+    shape at serving latency)."""
+    from .scoring.local import LocalSearcher
+    from .webtext import disk_index_dir
+
+    searcher = LocalSearcher(disk_index_dir(spark, sf_dir))
+    rows = []
+    for qid in sorted(CONCEPT_PHRASES):
+        res = searcher.concept_topk(CONCEPT_PHRASES[qid], k=TOPK)
+        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
+    return spark.createDataFrame(
+        rows, "qid string, doc_id long, rank long, score double"
+    )
+
+
 def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood top-k (the reference's `method:dir,
     mu:1600` rule, configs/trec7n8) — same query set and top-k contract
@@ -1542,6 +1563,9 @@ SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM ptopk WHERE rank <= {TOPK}
 """
 
+    # serving tier shares the phrase-scoring oracle
+    sql["local_phrase_topk"] = sql["phrase_weighted_topk"]
+
     fetch_list = ", ".join(str(i) for i in FETCH_IDS)
     sql["doc_fetch"] = f"""
 SELECT doc_id, text, lang, source FROM documents WHERE doc_id IN ({fetch_list})
@@ -1700,6 +1724,7 @@ SPARK_QUERIES = {
     "local_wand_topk": q_local_wand_topk,
     "local_lm_topk": q_local_lm_topk,
     "local_two_stage_topk": q_local_two_stage_topk,
+    "local_phrase_topk": q_local_phrase_topk,
     "lm_topk": q_lm_topk,
     "lm_rm3_topk": q_lm_rm3_topk,
     "two_stage_topk": q_two_stage_topk,

@@ -65,9 +65,12 @@ class LocalSearcher:
         self.num_buckets = int(stats["num_buckets"])
         self.k1, self.b = float(k1), float(b)
         self._postings_dir = os.path.join(out_dir, "postings")
+        self._positional_dir = os.path.join(out_dir, "positional")
         self._docmap_dir = os.path.join(out_dir, "docmap")
         # LRU of term -> {"df": int, "blocks": [block dicts]} | None
         self._terms: OrderedDict[str, dict | None] = OrderedDict()
+        # LRU of term -> {doc_id: positions ndarray} (positional stage)
+        self._positions: OrderedDict[str, dict] = OrderedDict()
 
     # -- index reads --------------------------------------------------
 
@@ -106,6 +109,47 @@ class LocalSearcher:
                 out[t] = got
         while len(self._terms) > _TERM_CACHE_SIZE:
             self._terms.popitem(last=False)
+        return out
+
+    def _fetch_positions(self, terms: list[str]) -> dict[str, dict]:
+        """term -> {doc_id: sorted positions ndarray} off the stored
+        positional-postings stage (checkpoint with_positions=True) —
+        same bucket pruning + term-filtered reads as ``_fetch_terms``.
+        """
+        if not os.path.isdir(self._positional_dir):
+            raise ValueError(
+                f"index at {self.out_dir} has no positional stage; "
+                "publish with build_index_checkpointed(..., "
+                "with_positions=True) to serve phrase queries."
+            )
+        out: dict[str, dict] = {}
+        missing_by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            if t in self._positions:
+                self._positions.move_to_end(t)
+                out[t] = self._positions[t]
+            else:
+                missing_by_bucket.setdefault(
+                    term_bucket(t, self.num_buckets), []
+                ).append(t)
+        for bucket, ts in missing_by_bucket.items():
+            bdir = os.path.join(self._positional_dir, f"bucket={bucket}")
+            found: dict[str, dict] = {t: {} for t in ts}
+            if os.path.isdir(bdir):
+                dset = pads.dataset(bdir, format="parquet")
+                tbl = dset.to_table(
+                    columns=["term", "doc_id", "positions"],
+                    filter=pc.field("term").isin(ts),
+                )
+                for row in tbl.to_pylist():
+                    found[row["term"]][int(row["doc_id"])] = np.asarray(
+                        row["positions"], dtype=np.int64
+                    )
+            for t in ts:
+                self._positions[t] = found[t]
+                out[t] = found[t]
+        while len(self._positions) > _TERM_CACHE_SIZE:
+            self._positions.popitem(last=False)
         return out
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
@@ -275,3 +319,116 @@ class LocalSearcher:
 
         order = np.lexsort((cands, -score))[:k]
         return [(int(cands[i]), float(score[i])) for i in order]
+
+    # -- phrase-clause scoring (#odN / #uwN as scored sub-expressions) -
+
+    def _bm25(self, tf, dl, df: float, w: float) -> np.ndarray:
+        idf = math.log(
+            1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+        )
+        return (
+            w * idf * tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def phrase_topk(
+        self,
+        term_clauses: list[tuple[str, float]],
+        phrase_clauses: list[tuple[list, int, bool, float]],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """`#weight(...)` mixing plain terms and window clauses, served
+        off the on-disk index — rank-identical to
+        ``scoring.phrase.phrase_weighted_topk``.
+
+        ``term_clauses``: [(term, weight)] — weight × BM25(term).
+        ``phrase_clauses``: [(terms, n, ordered, weight)] — each clause
+        is a pseudo-term: tf = window match count (ordered=#odN else
+        #uwN), df = docs with ≥1 match, scored with the same BM25.
+        Positions come from the stored positional stage; candidate docs
+        are the intersection of the clause terms' postings, window
+        kernels run post-intersection only (same shape as the Spark
+        path, scoring/phrase.py).
+        """
+        from ..functions.positional import od_count_positions
+        from ..index.positions import _uw_from_positions
+
+        all_terms = sorted(
+            {t for t, _ in term_clauses}
+            | {t for terms, _, _, _ in phrase_clauses for t in terms}
+        )
+        rows = self._fetch_terms(all_terms)
+        decoded = {
+            t: self._decode_term(got)
+            for t, got in rows.items()
+            if got is not None
+        }
+
+        scores: dict[int, float] = {}
+        dl_map: dict[int, float] = {}
+        for d, _, l in decoded.values():
+            dl_map.update(zip(d.tolist(), l.tolist()))
+
+        def add(doc_ids, contribs) -> None:
+            for d, c in zip(doc_ids, contribs):
+                scores[d] = scores.get(d, 0.0) + c
+
+        for t, w in term_clauses:
+            if t not in decoded:
+                continue
+            d, tf, dl = decoded[t]
+            df = float(rows[t]["df"])
+            add(d.tolist(), self._bm25(tf, dl, df, w).tolist())
+
+        needed = sorted(
+            {t for terms, _, _, _ in phrase_clauses for t in terms}
+        )
+        pos_by_term = self._fetch_positions(needed) if needed else {}
+        for terms, n, ordered, w in phrase_clauses:
+            per_term = [pos_by_term.get(t, {}) for t in terms]
+            if not per_term or any(not p for p in per_term):
+                continue
+            cand = set(per_term[0])
+            for p in per_term[1:]:
+                cand &= set(p)
+            matches: dict[int, int] = {}
+            for doc in cand:
+                arrs = [p[doc] for p in per_term]
+                cnt = (
+                    od_count_positions(arrs, n)
+                    if ordered
+                    else _uw_from_positions(arrs, n)
+                )
+                if cnt > 0:
+                    matches[doc] = cnt
+            if not matches:
+                continue
+            clause_df = float(len(matches))
+            docs = np.fromiter(matches, dtype=np.int64)
+            tf = np.fromiter(matches.values(), dtype=np.float64)
+            dl = np.array([dl_map[int(d)] for d in docs])
+            add(docs.tolist(), self._bm25(tf, dl, clause_df, w).tolist())
+
+        if not scores:
+            return []
+        docs = np.fromiter(scores, dtype=np.int64)
+        vals = np.fromiter(scores.values(), dtype=np.float64)
+        order = np.lexsort((docs, -vals))[:k]
+        return [(int(docs[i]), float(vals[i])) for i in order]
+
+    def concept_topk(self, phrase: str, k: int = 10, **kw) -> list:
+        """One concept query under the reference's rendering
+        `#weight(0.8 #combine(name) 0.1 #combine(#od4 bigrams) 0.1
+        #uwN(name))` (umls/umlsSeqPubMed.ipynb:555-633) — the serving
+        analogue of ``scoring.phrase.concept_query_topk``."""
+        from .phrase import render_concept_clauses
+
+        term_rows, phrase_rows = render_concept_clauses([("q", phrase)], **kw)
+        return self.phrase_topk(
+            [(t, w) for _, t, w in term_rows],
+            [
+                (terms, n, ordered, w)
+                for _, _, terms, n, ordered, w in phrase_rows
+            ],
+            k=k,
+        )

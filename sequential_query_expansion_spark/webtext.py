@@ -104,7 +104,10 @@ def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _INDEX_CACHE:
         out = tempfile.mkdtemp(prefix="sqe_srvidx_")
         build_index_checkpointed(
-            spark, load_documents(spark, sf_dir).select("doc_id", "text"), out
+            spark,
+            load_documents(spark, sf_dir).select("doc_id", "text"),
+            out,
+            with_positions=True,  # the serving index also answers phrase queries
         )
         _INDEX_CACHE[key] = out
     return _INDEX_CACHE[key]

@@ -119,6 +119,45 @@ def test_local_lm_rank_identical_to_spark(spark, disk_index):
             assert got == expect, (kw["method"], qid)
 
 
+@pytest.fixture(scope="module")
+def disk_index_pos(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srvidx_pos"))
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    idx = build_index_checkpointed(spark, docs, out, with_positions=True)
+    return out, idx
+
+
+def test_local_phrase_rank_identical_to_spark(spark, disk_index_pos):
+    """concept_topk must reproduce scoring/phrase.concept_query_topk's
+    rankings off the stored positional stage — same clause rendering,
+    same window kernels, same BM25 pseudo-term scoring."""
+    from sequential_query_expansion_spark.scoring.phrase import (
+        concept_query_topk,
+    )
+    from sequential_query_expansion_spark.webtext import positional_index
+
+    out_dir, idx = disk_index_pos
+    s = LocalSearcher(out_dir)
+    positional = positional_index(spark, SF_DIR)
+    concepts = {"c1": "hash join", "c2": "climate", "c3": "group agg sort"}
+    expect_df = concept_query_topk(spark, idx, positional, concepts, k=10)
+    for qid, phrase in concepts.items():
+        expect = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in expect_df.filter(expect_df.qid == qid)
+            .orderBy("rank").collect()
+        ]
+        got = [(d, round(sc, 9)) for d, sc in s.concept_topk(phrase, k=10)]
+        assert got == expect, (qid, got[:3], expect[:3])
+
+
+def test_local_phrase_requires_positional_stage(disk_index):
+    out_dir, _ = disk_index
+    s = LocalSearcher(out_dir)
+    with pytest.raises(ValueError, match="no positional stage"):
+        s.phrase_topk([], [(["hash", "join"], 4, True, 1.0)], k=5)
+
+
 def test_local_lm_all_absent_terms(disk_index):
     out_dir, _ = disk_index
     s = LocalSearcher(out_dir)
