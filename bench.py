@@ -182,6 +182,21 @@ def run_suite(out_path: str | None = None) -> dict:
     searcher.topk(qterms[sorted(qterms)[0]], k=10)
     timings["serving_cold"] = round(time.perf_counter() - t0, 4)
 
+    # serving-tier PRF latency: RM3 runs entirely in-process (feedback
+    # pass, stored doc-vector fetch, expanded re-run) — same rankings as
+    # the scheduling-bound Spark rm3_p50 line, at point-query cost
+    for qid in sorted(qterms):
+        searcher.rm3_topk(qterms[qid], k=10)  # warm term + dv reads
+    per_q_r = []
+    for qid in sorted(qterms):
+        t0 = time.perf_counter()
+        searcher.rm3_topk(qterms[qid], k=10)
+        per_q_r.append(time.perf_counter() - t0)
+    timings["serving_rm3_p50"] = round(statistics.median(per_q_r), 4)
+    timings["serving_rm3_p99"] = round(
+        sorted(per_q_r)[max(0, int(len(per_q_r) * 0.99) - 1)], 4
+    )
+
     def bench(name, fn):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()

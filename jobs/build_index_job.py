@@ -35,6 +35,12 @@ def main() -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--salt-ranges", type=int, default=8)
+    ap.add_argument("--with-positions", action="store_true",
+                    help="also persist the positional stage (serves "
+                         "#odN/#uwN phrase queries off the stored index)")
+    ap.add_argument("--with-doc-vectors", action="store_true",
+                    help="also persist the forward index (doc_id-sorted "
+                         "doc vectors; serves PRF/RM3 without re-scan)")
     ap.add_argument("--codec", default="varint", choices=["varint", "pfor"],
                     help="posting-block codec (varint: fastest encode for "
                          "ingest; pfor: smaller + faster decode — or keep "
@@ -66,6 +72,8 @@ def main() -> int:
     idx = build_index_checkpointed(
         spark, docs, args.output,
         salt_ranges=args.salt_ranges, num_buckets=args.num_buckets,
+        with_positions=args.with_positions,
+        with_doc_vectors=args.with_doc_vectors,
         codec=args.codec,
     )
     print(f"indexed {idx.n_docs} docs, avgdl={idx.avgdl:.2f} -> {args.output}")

@@ -14,7 +14,12 @@ shared tokenizer contract).
     python jobs/local_query_job.py --index <index dir> \
         --topics <qid:text file> --output <run file> \
         [--k 1000] [--method bm25|dir|two] [--mu 1600] [--lam 0.4] \
+        [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7] \
         [--tag sqe-local] [--names url|doc_id]
+
+``--rm3`` (same flags as jobs/query_job.py) runs the full PRF loop
+in-process off the stored forward index (``with_doc_vectors`` stage);
+rankings match the Spark job's ``--rm3`` output.
 
 Spark remains the system of record (build/merge/compact/delete); any
 number of these stateless searchers mount the published index read-only.
@@ -63,6 +68,10 @@ def main() -> int:
                     choices=["bm25", "dir", "two"])
     ap.add_argument("--mu", type=float, default=1600.0)
     ap.add_argument("--lam", type=float, default=0.4)
+    ap.add_argument("--rm3", action="store_true")
+    ap.add_argument("--fb-docs", type=int, default=10)
+    ap.add_argument("--fb-terms", type=int, default=20)
+    ap.add_argument("--orig-weight", type=float, default=0.7)
     ap.add_argument("--tag", default="sqe-local")
     ap.add_argument("--names", default="url", choices=["url", "doc_id"],
                     help="document name column for the run file")
@@ -73,7 +82,17 @@ def main() -> int:
     queries = {qid: tokenize_py(text) for qid, text in topics.items()}
 
     t0 = time.perf_counter()
-    if args.method == "bm25":
+    if args.rm3:
+        if args.method not in ("bm25", "dir"):
+            raise SystemExit("--rm3 supports --method bm25 or dir")
+        results = {
+            qid: searcher.rm3_topk(
+                q, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+                orig_weight=args.orig_weight, method=args.method, mu=args.mu,
+            )
+            for qid, q in queries.items()
+        }
+    elif args.method == "bm25":
         results = searcher.batch_topk(queries, k=args.k)
     else:
         results = searcher.batch_topk(

@@ -325,9 +325,12 @@ def _local_searcher_run(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     qmap: dict[str, list] = {}
     for qid, term, w in query_term_rows():
         qmap.setdefault(qid, []).append((term, w))
+    is_rm3 = kw.pop("_rm3", False)
     rows = []
     for qid in sorted(qmap):
-        if kw:
+        if is_rm3:
+            res = searcher.rm3_topk(qmap[qid], k=TOPK, **kw)
+        elif kw:
             res = searcher.lm_topk(qmap[qid], k=TOPK, **kw)
         else:
             res = searcher.topk(qmap[qid], k=TOPK)
@@ -351,6 +354,26 @@ def q_local_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier two-stage smoothing (`method:two`, the reference's
     CDS14 headline rule) — shares two_stage_topk's DuckDB oracle."""
     return _local_searcher_run(spark, sf_dir, method="two", mu=1600.0, lam=0.4)
+
+
+def q_local_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier RM3 PRF (Indri fbDocs/fbTerms + #weight interp):
+    feedback docs, RM1 over the stored doc_vectors stage, and the
+    expanded re-run all execute in ``LocalSearcher`` without Spark —
+    shares bm25_rm3_topk's DuckDB oracle."""
+    return _local_searcher_run(
+        spark, sf_dir, _rm3=True, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+        orig_weight=ORIG_W, rank_round=RANK_ROUND,
+    )
+
+
+def q_local_lm_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier RM3 under the Dirichlet-LM rule (the reference's
+    actual Indri PRF configuration) — shares lm_rm3_topk's oracle."""
+    return _local_searcher_run(
+        spark, sf_dir, _rm3=True, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+        orig_weight=ORIG_W, rank_round=RANK_ROUND, method="dir", mu=1600.0,
+    )
 
 
 def q_local_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,6 +1198,7 @@ FROM tstopk WHERE rank <= {TOPK}
     # the serving tier must reproduce both LM rules off the same index
     sql["local_lm_topk"] = sql["lm_topk"]
     sql["local_two_stage_topk"] = sql["two_stage_topk"]
+    sql["local_lm_rm3_topk"] = sql["lm_rm3_topk"]
 
     sql["rm3_expansion"] = f"""
 WITH {_BASE},
@@ -1211,6 +1235,7 @@ topk2 AS (
 SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM topk2 WHERE rank <= {TOPK}
 """
+    sql["local_rm3_topk"] = sql["bm25_rm3_topk"]
 
     sql["eval_metrics"] = f"""
 WITH {_BASE},
@@ -1724,6 +1749,8 @@ SPARK_QUERIES = {
     "local_wand_topk": q_local_wand_topk,
     "local_lm_topk": q_local_lm_topk,
     "local_two_stage_topk": q_local_two_stage_topk,
+    "local_rm3_topk": q_local_rm3_topk,
+    "local_lm_rm3_topk": q_local_lm_rm3_topk,
     "local_phrase_topk": q_local_phrase_topk,
     "lm_topk": q_lm_topk,
     "lm_rm3_topk": q_lm_rm3_topk,

@@ -90,6 +90,7 @@ def build_index_checkpointed(
     salt_ranges: int = 8,
     num_buckets: int = NUM_BUCKETS,
     with_positions: bool = False,
+    with_doc_vectors: bool = False,
     codec: str = "varint",
 ) -> IndexTables:
     """docs(doc_id, text) -> IndexTables, all stages checkpointed under
@@ -100,7 +101,12 @@ def build_index_checkpointed(
     (term, doc_id, positions) as a bucketed stage — Indri keeps
     positions in its inverted file (occuranceCount.cpp:310-351); with
     this stage #odN/#uwN phrase queries run off the STORED index instead
-    of re-tokenizing the corpus."""
+    of re-tokenizing the corpus.
+
+    ``with_doc_vectors`` persists the FORWARD index (doc_id, term, tf,
+    dl) sorted by doc_id — Indri's stored document vectors (`dumpindex
+    dv`, occuranceCount.cpp:631-663). The serving tier's PRF reads the
+    feedback docs' vectors through parquet row-group doc_id pruning."""
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir)
 
@@ -191,6 +197,21 @@ def build_index_checkpointed(
             man["buckets_done"] = sorted(done | set(todo))
             _save_manifest(out_dir, man)
         mark_stage("blocked")
+
+    if with_doc_vectors and not stage_done("doc_vectors"):
+        # forward index, ONE global doc_id sort so the serving tier's
+        # fb-doc fetch prunes row groups (same publish-time-sort policy
+        # as the docmap); range-partitioned on doc_id by the sort, so at
+        # cluster scale each output file covers a contiguous doc span
+        dv_path = os.path.join(out_dir, "doc_vectors")
+        flat.drop("bucket").select("doc_id", "term", "tf", "dl").sort(
+            "doc_id", "term"
+        ).write.mode("overwrite").parquet(dv_path)
+        _append_metrics(
+            spark, out_dir, "doc_vectors",
+            _partition_metrics(spark.read.parquet(dv_path)),
+        )
+        mark_stage("doc_vectors")
 
     if with_positions and not stage_done("positional"):
         from ..functions.text import tokenize_col

@@ -219,8 +219,10 @@ def compact_index(spark: SparkSession, out_dir: str,
 
     if tomb is not None:
         # doc tables
-        for name in ("docmap", "doc_len"):
+        for name in ("docmap", "doc_len", "doc_vectors"):
             p = os.path.join(out_dir, name)
+            if name == "doc_vectors" and not os.path.isdir(p):
+                continue  # optional forward-index stage
             kept = spark.read.parquet(p).join(
                 F.broadcast(tomb), "doc_id", "left_anti"
             ).sort("doc_id")  # keep the publish-time doc_id sort

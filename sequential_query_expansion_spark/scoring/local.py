@@ -416,6 +416,97 @@ class LocalSearcher:
         order = np.lexsort((docs, -vals))[:k]
         return [(int(docs[i]), float(vals[i])) for i in order]
 
+    # -- pseudo-relevance feedback (Indri fbDocs/fbTerms) --------------
+
+    def _fetch_doc_vectors(self, doc_ids: list[int]) -> pd.DataFrame:
+        """(doc_id, term, tf, dl) rows for ``doc_ids`` off the stored
+        forward index (checkpoint with_doc_vectors=True). The stage is
+        published SORTED by doc_id, so parquet row-group min/max stats
+        prune the read to the feedback docs' spans."""
+        dv_dir = os.path.join(self.out_dir, "doc_vectors")
+        if not os.path.isdir(dv_dir):
+            raise ValueError(
+                f"index at {self.out_dir} has no doc_vectors stage; "
+                "publish with build_index_checkpointed(..., "
+                "with_doc_vectors=True) to serve PRF queries."
+            )
+        dset = pads.dataset(dv_dir, format="parquet")
+        tbl = dset.to_table(
+            columns=["doc_id", "term", "tf", "dl"],
+            filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
+        )
+        return tbl.to_pandas()
+
+    def rm3_topk(
+        self,
+        query_terms,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 20,
+        orig_weight: float = 0.5,
+        method: str = "bm25",
+        mu: float = 1600.0,
+        rank_round: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """RM3-expanded retrieval off the on-disk index, rank-identical
+        to ``expansion.rm3.rm3_topk`` (same feedback model, same
+        selection ties, same interpolation):
+
+          1. unexpanded top-``fb_docs`` (BM25, or Dirichlet for
+             method="dir" — the reference's actual Indri PRF);
+          2. doc weights: score-proportional (bm25) / softmax over
+             log-QL (dir);
+          3. RM1 over the feedback docs' STORED vectors
+             (``with_doc_vectors`` stage) — P(t|R) = Σ w_d·tf/dl;
+          4. top ``fb_terms`` by (weight desc, term asc), renormalized;
+          5. ow·orig/|q| + (1-ow)·rm1, re-run through the same scorer.
+
+        ``rank_round`` mirrors the Spark scorers' cross-engine float
+        policy: feedback docs and fb terms are selected on ROUNDED keys.
+        """
+        weights = self._weights(query_terms)
+        if method == "dir":
+            fb_run = self.lm_topk(weights, k=fb_docs, method="dir", mu=mu)
+        else:
+            fb_run = self.topk(weights, k=fb_docs)
+        if rank_round is not None:
+            fb_run = sorted(
+                fb_run, key=lambda ds: (-round(ds[1], rank_round), ds[0])
+            )[:fb_docs]
+        if not fb_run:
+            return []
+
+        scores = np.array([s for _, s in fb_run])
+        if method == "dir":
+            e = np.exp(scores - scores.max())  # stable softmax posterior
+            w_doc = e / e.sum()
+        else:
+            w_doc = scores / scores.sum()
+        w_by_doc = {d: w for (d, _), w in zip(fb_run, w_doc)}
+
+        dv = self._fetch_doc_vectors(list(w_by_doc))
+        dv = dv.assign(
+            contrib=dv["doc_id"].map(w_by_doc) * dv["tf"] / dv["dl"]
+        )
+        rm1 = dv.groupby("term")["contrib"].sum()
+        sort_key = (
+            rm1.round(rank_round + 3) if rank_round is not None else rm1
+        )
+        order = sorted(rm1.index, key=lambda t: (-sort_key[t], t))[:fb_terms]
+        top_w = rm1[order]
+        rm1_n = (1.0 - orig_weight) * top_w / top_w.sum()
+
+        n_q = sum(weights.values())
+        expanded: dict[str, float] = {
+            t: orig_weight * w / n_q for t, w in weights.items()
+        }
+        for t, w in rm1_n.items():
+            expanded[t] = expanded.get(t, 0.0) + float(w)
+
+        if method == "dir":
+            return self.lm_topk(expanded, k=k, method="dir", mu=mu)
+        return self.topk(expanded, k=k)
+
     def concept_topk(self, phrase: str, k: int = 10, **kw) -> list:
         """One concept query under the reference's rendering
         `#weight(0.8 #combine(name) 0.1 #combine(#od4 bigrams) 0.1

@@ -107,7 +107,8 @@ def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
             spark,
             load_documents(spark, sf_dir).select("doc_id", "text"),
             out,
-            with_positions=True,  # the serving index also answers phrase queries
+            with_positions=True,      # serving index answers phrase queries
+            with_doc_vectors=True,    # ... and PRF (RM3) queries
         )
         _INDEX_CACHE[key] = out
     return _INDEX_CACHE[key]

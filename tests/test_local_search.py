@@ -62,8 +62,8 @@ def test_local_topk_rank_identical_to_spark(spark, disk_index):
     # multi-term weighted queries incl. absent terms and duplicates
     queries = {
         "q1": {"the": 1.0, "of": 0.5},
-        "q2": [("climate", 1.0), ("climate", 1.0), ("energy", 2.0)],
-        "q3": ["science", "nosuchterm_zzz"],
+        "q2": [("scan", 1.0), ("scan", 1.0), ("window", 2.0)],
+        "q3": ["join", "nosuchterm_zzz"],
     }
     for qid, q in queries.items():
         if isinstance(q, dict):
@@ -95,7 +95,7 @@ def test_local_lm_rank_identical_to_spark(spark, disk_index):
     s = LocalSearcher(out_dir)
     queries = {
         "q1": {"the": 1.0, "of": 0.5},
-        "q2": [("climate", 1.0), ("energy", 2.0), ("nosuchterm_zzz", 3.0)],
+        "q2": [("scan", 1.0), ("window", 2.0), ("nosuchterm_zzz", 3.0)],
     }
     for fn, kw in [
         (dirichlet_topk, {"method": "dir", "mu": 1600.0}),
@@ -139,7 +139,7 @@ def test_local_phrase_rank_identical_to_spark(spark, disk_index_pos):
     out_dir, idx = disk_index_pos
     s = LocalSearcher(out_dir)
     positional = positional_index(spark, SF_DIR)
-    concepts = {"c1": "hash join", "c2": "climate", "c3": "group agg sort"}
+    concepts = {"c1": "hash join", "c2": "merge", "c3": "group agg sort"}
     expect_df = concept_query_topk(spark, idx, positional, concepts, k=10)
     for qid, phrase in concepts.items():
         expect = [
@@ -149,6 +149,66 @@ def test_local_phrase_rank_identical_to_spark(spark, disk_index_pos):
         ]
         got = [(d, round(sc, 9)) for d, sc in s.concept_topk(phrase, k=10)]
         assert got == expect, (qid, got[:3], expect[:3])
+
+
+@pytest.fixture(scope="module")
+def disk_index_dv(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srvidx_dv"))
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    idx = build_index_checkpointed(spark, docs, out, with_doc_vectors=True)
+    return out, idx
+
+
+def test_local_rm3_rank_identical_to_spark(spark, disk_index_dv):
+    """rm3_topk must reproduce expansion.rm3.rm3_topk's rankings off the
+    stored forward index (with_doc_vectors stage) — same feedback run,
+    same RM1 term model, same tie-breaks, for both bm25 and dir PRF."""
+    from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
+
+    out_dir, idx = disk_index_dv
+    s = LocalSearcher(out_dir)
+    queries = {
+        "q1": {"hash": 1.0, "join": 1.0},
+        "q2": [("scan", 1.0), ("window", 2.0), ("nosuchterm_zzz", 1.0)],
+    }
+    for method, kw in [("bm25", {}), ("dir", {"mu": 1600.0})]:
+        for qid, q in queries.items():
+            rows = [
+                (qid, t, w)
+                for t, w in (q.items() if isinstance(q, dict) else q)
+            ]
+            qt = spark.createDataFrame(
+                rows, "qid string, term string, weight double"
+            )
+            expect = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in rm3_topk(
+                    idx, qt, k=10, fb_docs=5, fb_terms=10,
+                    orig_weight=0.6, method=method, **kw
+                ).orderBy("rank").collect()
+            ]
+            got = [
+                (d, round(sc, 9))
+                for d, sc in s.rm3_topk(
+                    q, k=10, fb_docs=5, fb_terms=10,
+                    orig_weight=0.6, method=method, **kw
+                )
+            ]
+            assert got, (method, qid)  # guard: never a vacuous [] == []
+            assert got == expect, (method, qid)
+
+
+def test_local_rm3_requires_doc_vectors_stage(disk_index):
+    out_dir, _ = disk_index
+    s = LocalSearcher(out_dir)
+    with pytest.raises(ValueError, match="no doc_vectors stage"):
+        s.rm3_topk(["the"], k=5)
+
+
+def test_local_rm3_all_absent_terms(disk_index_dv):
+    out_dir, _ = disk_index_dv
+    s = LocalSearcher(out_dir)
+    assert s.rm3_topk(["nosuchterm_zzz"], k=5) == []
 
 
 def test_local_phrase_requires_positional_stage(disk_index):
@@ -173,7 +233,7 @@ def test_local_query_job_end_to_end(tmp_path, disk_index):
 
     out_dir, _ = disk_index
     topics = tmp_path / "topics.txt"
-    topics.write_text("q1:the science\nq2:climate energy\n")
+    topics.write_text("q1:the scan\nq2:window merge\n")
     run = tmp_path / "run.txt"
     proc = subprocess.run(
         [
@@ -189,7 +249,7 @@ def test_local_query_job_end_to_end(tmp_path, disk_index):
     lines = run.read_text().strip().splitlines()
     assert lines and all(len(l.split(" ")) == 6 for l in lines)
     s = LocalSearcher(out_dir)
-    expect = s.lm_topk(["the", "science"], k=5, method="dir")
+    expect = s.lm_topk(["the", "scan"], k=5, method="dir")
     got = [
         (int(l.split(" ")[2]), float(l.split(" ")[4]))
         for l in lines if l.startswith("q1 ")

@@ -149,6 +149,33 @@ def test_compact_handles_fully_deleted_buckets(spark, tmp_path_factory):
     assert terms and all(t.startswith("only1tok") for t in terms)
 
 
+def test_compact_purges_doc_vectors_stage(spark, docs_df, tmp_path_factory):
+    """The optional forward-index stage (with_doc_vectors=True) must be
+    rewritten by compact like docmap/doc_len: deleted docs gone, global
+    doc_id sort preserved (row-group pruning contract), and the serving
+    tier's PRF still runs and never surfaces a deleted doc."""
+    from sequential_query_expansion_spark.scoring.local import LocalSearcher
+
+    out = str(tmp_path_factory.mktemp("maintdv") / "idx")
+    build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                             num_buckets=8, with_doc_vectors=True)
+    mt.delete_docs(spark, out, DELETED)
+    mt.compact_index(spark, out)
+
+    dv = spark.read.parquet(os.path.join(out, "doc_vectors")).toPandas()
+    assert len(dv) > 0
+    assert not set(dv.doc_id) & set(DELETED)
+
+    import pyarrow.parquet as pq
+    for f in glob.glob(os.path.join(out, "doc_vectors", "*.parquet")):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+        assert (np.diff(ids) >= 0).all(), f  # sorted within each file
+
+    s = LocalSearcher(out)
+    res = s.rm3_topk(["term00000", "term00001"], k=20, fb_docs=5, fb_terms=10)
+    assert res and not {d for d, _ in res} & set(DELETED)
+
+
 def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
     """No tombstones → pure small-file compaction (one file per bucket)."""
     out = str(tmp_path_factory.mktemp("maint2") / "idx")
