@@ -53,13 +53,18 @@ def main() -> int:
         spark = get_spark("sqe-query")
 
     from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
-    from sequential_query_expansion_spark.index.checkpoint import load_index
+    from sequential_query_expansion_spark.index.maintenance import (
+        load_index_live,
+    )
     from sequential_query_expansion_spark.scoring.bm25 import (
         query_term_table, score_topk,
     )
     from sequential_query_expansion_spark.sources import trec
 
-    idx = load_index(spark, args.index)
+    # live load: pending delete_docs tombstones (pre-compact) are
+    # applied, so runs never surface deleted docs — same semantics as
+    # the serving tier (LocalSearcher live mode)
+    idx = load_index_live(spark, args.index)
     if args.topics.endswith((".sgml", ".xml")):
         topics = trec.read_trec_topics_sgml(spark, args.topics)
     else:

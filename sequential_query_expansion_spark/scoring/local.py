@@ -55,6 +55,16 @@ class LocalSearcher:
     ``lm_topk`` (method:dir / method:two) to ``scoring.lm``'s scorers —
     same formulas, same (score desc, doc_id asc) tie-break, pinned by
     tests/test_local_search.py against both codecs.
+
+    An index with pending ``maintenance.delete_docs`` tombstones (not
+    yet compacted) serves in LIVE mode: tombstoned docs are dropped and
+    n_docs/avgdl/df recomputed from the survivors, rank-identical to
+    the Spark live path (``maintenance.load_index_live`` + the batch
+    scorers). Live BM25 scores exhaustively — the stored block-max
+    bounds assume the published stats, and deletes RAISE idf, so WAND
+    pruning over stale bounds would be unsound (the Spark live path
+    disables WAND the same way). Run ``compact_index`` to restore the
+    pruned point-query path.
     """
 
     def __init__(self, out_dir: str, k1: float = K1, b: float = B):
@@ -71,6 +81,53 @@ class LocalSearcher:
         self._terms: OrderedDict[str, dict | None] = OrderedDict()
         # LRU of term -> {doc_id: positions ndarray} (positional stage)
         self._positions: OrderedDict[str, dict] = OrderedDict()
+        self._tomb: np.ndarray | None = None   # sorted tombstoned ids
+        self._tomb_set: frozenset[int] = frozenset()
+        self._load_tombstones()
+
+    # -- live (tombstoned, pre-compact) mode ---------------------------
+
+    def _load_tombstones(self) -> None:
+        """Serve a live index exactly like the Spark reader
+        (maintenance.load_index_live): if ``delete_docs`` tombstones
+        exist but ``compact_index`` hasn't run, drop the tombstoned rows
+        and recompute n_docs/avgdl (and per-term df at decode time) from
+        the SURVIVORS. O(deleted) at init — tombstones are a tiny table
+        by contract."""
+        tdir = os.path.join(self.out_dir, "tombstones")
+        if not os.path.isdir(tdir):
+            return
+        tomb = np.unique(
+            pads.dataset(tdir, format="parquet")
+            .to_table(columns=["doc_id"])["doc_id"]
+            .to_numpy()
+        ).astype(np.int64)
+        if not len(tomb):
+            return
+        # exact live stats: published totals minus the tombstoned rows'
+        # (doc_len is published doc_id-sorted -> row-group pruned read)
+        dl_tbl = pads.dataset(
+            os.path.join(self.out_dir, "doc_len"), format="parquet"
+        ).to_table(
+            columns=["doc_id", "dl"],
+            filter=pc.field("doc_id").isin([int(d) for d in tomb]),
+        )
+        n_del = dl_tbl.num_rows
+        dl_del = int(pc.sum(dl_tbl["dl"]).as_py() or 0)
+        total = round(self.n_docs * self.avgdl)
+        self.n_docs -= n_del
+        self.avgdl = (total - dl_del) / self.n_docs if self.n_docs else 0.0
+        self._tomb = tomb
+        self._tomb_set = frozenset(tomb.tolist())
+
+    def _decode_live(self, got: dict):
+        """``_decode_term`` minus the tombstoned docs (no-op when the
+        index carries no tombstones)."""
+        d, tf, dl = self._decode_term(got)
+        if self._tomb is not None and len(d):
+            keep = ~np.isin(d, self._tomb)
+            d, tf, dl = d[keep], tf[keep], dl[keep]
+        return d, tf, dl
 
     # -- index reads --------------------------------------------------
 
@@ -161,9 +218,10 @@ class LocalSearcher:
         a handful of row groups, not the whole table.
         """
         dset = pads.dataset(self._docmap_dir, format="parquet")
+        wanted = [int(d) for d in doc_ids if int(d) not in self._tomb_set]
         tbl = dset.to_table(
             columns=["doc_id", "url"],
-            filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
+            filter=pc.field("doc_id").isin(wanted),
         )
         return {int(r["doc_id"]): r["url"] for r in tbl.to_pylist()}
 
@@ -192,6 +250,8 @@ class LocalSearcher:
         """
         weights = self._weights(query_terms)
         rows = self._fetch_terms(list(weights))
+        if self._tomb is not None:
+            return self._topk_exhaustive(weights, rows, k)
         recs = [
             {
                 "qid": "_q",
@@ -212,6 +272,31 @@ class LocalSearcher:
             (int(d), float(s))
             for d, s in zip(res["doc_id"].tolist(), res["score"].tolist())
         ]
+
+    def _topk_exhaustive(self, weights: dict, rows: dict, k: int):
+        """BM25 over the query terms' full surviving postings — the live
+        (tombstoned) path. The stored block-max bounds are computed
+        against the PUBLISHED stats; deletes raise idf, so ``max_score``
+        is no longer a sound upper bound and WAND pruning is disabled —
+        exactly mirroring the Spark live path, where
+        ``maintenance.load_index_live`` sets ``postings=None``. df is
+        recounted from the survivors (= the live-recomputed vocab)."""
+        decoded = {
+            t: v
+            for t, got in rows.items()
+            if got is not None
+            for v in [self._decode_live(got)]
+            if len(v[0])
+        }
+        if not decoded:
+            return []
+        cands = np.unique(np.concatenate([d for d, _, _ in decoded.values()]))
+        score = np.zeros(len(cands), dtype=np.float64)
+        for t, (d, tf, dl) in decoded.items():
+            contrib = self._bm25(tf, dl, float(len(d)), weights[t])
+            np.add.at(score, np.searchsorted(cands, d), contrib)
+        order = np.lexsort((cands, -score))[:k]
+        return [(int(cands[i]), float(score[i])) for i in order]
 
     def batch_topk(
         self, queries: dict[str, object], k: int = 10, **kw
@@ -277,9 +362,11 @@ class LocalSearcher:
         c_total = float(round(self.n_docs * self.avgdl))  # Σ dl, exact
 
         decoded = {
-            t: self._decode_term(got)
+            t: v
             for t, got in rows.items()
             if got is not None
+            for v in [self._decode_live(got)]
+            if len(v[0])  # fully-tombstoned terms drop out of the vocab
         }
         if not decoded:
             return []
@@ -359,9 +446,11 @@ class LocalSearcher:
         )
         rows = self._fetch_terms(all_terms)
         decoded = {
-            t: self._decode_term(got)
+            t: v
             for t, got in rows.items()
             if got is not None
+            for v in [self._decode_live(got)]
+            if len(v[0])
         }
 
         scores: dict[int, float] = {}
@@ -377,7 +466,9 @@ class LocalSearcher:
             if t not in decoded:
                 continue
             d, tf, dl = decoded[t]
-            df = float(rows[t]["df"])
+            # live mode recounts df from the survivors (== stored df on
+            # a compacted index, where the decode is the full list)
+            df = float(len(d)) if self._tomb is not None else float(rows[t]["df"])
             add(d.tolist(), self._bm25(tf, dl, df, w).tolist())
 
         needed = sorted(
@@ -391,6 +482,7 @@ class LocalSearcher:
             cand = set(per_term[0])
             for p in per_term[1:]:
                 cand &= set(p)
+            cand -= self._tomb_set
             matches: dict[int, int] = {}
             for doc in cand:
                 arrs = [p[doc] for p in per_term]

@@ -149,6 +149,62 @@ def test_compact_handles_fully_deleted_buckets(spark, tmp_path_factory):
     assert terms and all(t.startswith("only1tok") for t in terms)
 
 
+def test_local_searcher_live_mode_rank_identical(spark, docs_df,
+                                                 tmp_path_factory):
+    """A LocalSearcher mounting an index with pending tombstones must
+    serve the SAME rankings as the Spark live path (load_index_live +
+    the batch scorers): deleted docs gone, n_docs/avgdl/df recomputed
+    from the survivors, for BM25, both LM rules, and RM3."""
+    from sequential_query_expansion_spark.expansion.rm3 import rm3_topk
+    from sequential_query_expansion_spark.scoring.bm25 import (
+        score_topk as bm25_topk,
+    )
+    from sequential_query_expansion_spark.scoring.lm import (
+        dirichlet_topk, two_stage_topk,
+    )
+    from sequential_query_expansion_spark.scoring.local import LocalSearcher
+
+    out = str(tmp_path_factory.mktemp("maintlive") / "idx")
+    build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                             num_buckets=8, with_doc_vectors=True)
+    mt.delete_docs(spark, out, DELETED)
+    live = mt.load_index_live(spark, out)
+    s = LocalSearcher(out)
+
+    assert s.n_docs == live.n_docs
+    assert abs(s.avgdl - live.avgdl) < 1e-9
+
+    q = {"term00000": 1.0, "term00001": 2.0}
+    qt = spark.createDataFrame(
+        [("q", t, w) for t, w in q.items()],
+        "qid string, term string, weight double",
+    )
+
+    def run(df):
+        return [(r["doc_id"], round(r["score"], 9))
+                for r in df.orderBy("rank").collect()]
+
+    cases = [
+        (bm25_topk(live, qt, k=10), s.topk(q, k=10)),
+        (dirichlet_topk(live, qt, k=10, mu=1600.0),
+         s.lm_topk(q, k=10, method="dir", mu=1600.0)),
+        (two_stage_topk(live, qt, k=10, mu=1600.0, lam=0.4),
+         s.lm_topk(q, k=10, method="two", mu=1600.0, lam=0.4)),
+        (rm3_topk(live, qt, k=10, fb_docs=5, fb_terms=10, orig_weight=0.6),
+         s.rm3_topk(q, k=10, fb_docs=5, fb_terms=10, orig_weight=0.6)),
+    ]
+    for i, (spark_df, local_res) in enumerate(cases):
+        expect = run(spark_df)
+        got = [(d, round(sc, 9)) for d, sc in local_res]
+        assert got, i
+        assert got == expect, i
+        assert not {d for d, _ in got} & set(DELETED), i
+
+    # urls_for must not resolve tombstoned ids
+    assert set(s.urls_for(DELETED[:5] + [d for d, _ in cases[0][1][:2]])) \
+        == {d for d, _ in cases[0][1][:2]}
+
+
 def test_compact_purges_doc_vectors_stage(spark, docs_df, tmp_path_factory):
     """The optional forward-index stage (with_doc_vectors=True) must be
     rewritten by compact like docmap/doc_len: deleted docs gone, global
