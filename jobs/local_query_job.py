@@ -15,11 +15,14 @@ shared tokenizer contract).
         --topics <qid:text file> --output <run file> \
         [--k 1000] [--method bm25|dir|two] [--mu 1600] [--lam 0.4] \
         [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7] \
-        [--tag sqe-local] [--names url|doc_id]
+        [--indri] [--tag sqe-local] [--names url|doc_id]
 
 ``--rm3`` (same flags as jobs/query_job.py) runs the full PRF loop
 in-process off the stored forward index (``with_doc_vectors`` stage);
-rankings match the Spark job's ``--rm3`` output.
+rankings match the Spark job's ``--rm3`` output. ``--indri`` treats
+topic text as Indri query-language strings (#weight/#combine/#odN/#uwN)
+served through the phrase-clause scorer, matching the Spark job's
+``--indri`` output; window operators need the positional stage.
 
 Spark remains the system of record (build/merge/compact/delete); any
 number of these stateless searchers mount the published index read-only.
@@ -68,6 +71,9 @@ def main() -> int:
                     choices=["bm25", "dir", "two"])
     ap.add_argument("--mu", type=float, default=1600.0)
     ap.add_argument("--lam", type=float, default=0.4)
+    ap.add_argument("--indri", action="store_true",
+                    help="topic text is Indri query language "
+                         "(#weight/#combine/#odN/#uwN)")
     ap.add_argument("--rm3", action="store_true")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=20)
@@ -82,7 +88,15 @@ def main() -> int:
     queries = {qid: tokenize_py(text) for qid, text in topics.items()}
 
     t0 = time.perf_counter()
-    if args.rm3:
+    if args.indri:
+        if args.rm3 or args.method != "bm25":
+            raise SystemExit("--indri runs the phrase-clause BM25 scorer "
+                             "(no --rm3/--method combination)")
+        results = {
+            qid: searcher.indri_topk(text, k=args.k)
+            for qid, text in topics.items()
+        }
+    elif args.rm3:
         if args.method not in ("bm25", "dir"):
             raise SystemExit("--rm3 supports --method bm25 or dir")
         results = {

@@ -7,7 +7,13 @@ two-stage smoothing (--method two, Indri method:two).
     spark-submit --py-files sqe.zip jobs/query_job.py \
         --index <index dir> --topics <topics file> --output <run dir> \
         [--k 1000] [--method bm25|dir|two] [--mu 1600] [--lam 0.4] \
-        [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7]
+        [--rm3] [--fb-docs 10] [--fb-terms 20] [--orig-weight 0.7] \
+        [--indri]
+
+``--indri`` treats each topic's text as an Indri query-language string
+(`#weight/#combine/#odN/#uwN`, the strings an indriRunQuery.cfg
+carries) executed through the phrase-clause scorer — requires an index
+published with the positional stage when window operators appear.
 
 Topics format: `qid:text` lines (clueWeb style) or TREC SGML (auto by
 extension .sgml). Local smoke:
@@ -44,6 +50,9 @@ def main() -> int:
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=20)
     ap.add_argument("--orig-weight", type=float, default=0.7)
+    ap.add_argument("--indri", action="store_true",
+                    help="topic text is Indri query language "
+                         "(#weight/#combine/#odN/#uwN)")
     args = ap.parse_args()
 
     spark = SparkSession.getActiveSession()
@@ -69,6 +78,28 @@ def main() -> int:
         topics = trec.read_trec_topics_sgml(spark, args.topics)
     else:
         topics = trec.read_topics_lines(spark, args.topics)
+    if args.indri:
+        if args.rm3 or args.method != "bm25":
+            raise SystemExit("--indri runs the phrase-clause BM25 scorer "
+                             "(no --rm3/--method combination)")
+        from sequential_query_expansion_spark.scoring.phrase import (
+            indri_query_topk,
+        )
+
+        tmap = {r["qid"]: r["text"] for r in topics.collect()}
+        from sequential_query_expansion_spark.indriql import (
+            parse_indri_topics,
+        )
+
+        if parse_indri_topics(tmap)[1] and idx.positional is None:
+            raise SystemExit(
+                "--indri with #odN/#uwN operators requires an index "
+                "published with --with-positions"
+            )
+        run = indri_query_topk(spark, idx, idx.positional, tmap, k=args.k)
+        trec.write_trec_run(run, args.output, tag="sqe-spark")
+        print(f"wrote run ({run.count()} rows) -> {args.output}")
+        return 0
     qt = query_term_table(topics)
     if args.rm3:
         if args.method == "two":

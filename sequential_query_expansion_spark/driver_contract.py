@@ -668,6 +668,35 @@ def q_phrase_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_indri_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same concept queries as phrase_weighted_topk, entering from
+    the reference's QUERY-LANGUAGE surface: the rendered Indri strings
+    an indriRunQuery.cfg carries (configs/*/indriRunQuery.cfg;
+    umls/umlsSeqPubMed.ipynb:586-593), parsed by ``indriql`` and scored
+    by the same clause plan — shares phrase_weighted_topk's oracle."""
+    from .scoring.phrase import indri_query_topk
+    from .webtext import positional_index
+
+    idx = doc_index(spark, sf_dir)
+    positional = positional_index(spark, sf_dir)
+    topics = {
+        qid: (
+            f"#weight({W_TERM} #combine({p}) "
+            f"{W_OD} #od4({p}) {W_UW} #uw{UW2_N}({p}))"
+        )
+        for qid, p in CONCEPT_PHRASES.items()
+    }
+    out = indri_query_topk(
+        spark, idx, positional, topics, k=TOPK, rank_round=RANK_ROUND
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 def q_uw_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 `#uwN(a b)` unordered-window counts from the positional
     postings (2-term case: count = consecutive events of differing terms
@@ -1590,6 +1619,8 @@ FROM ptopk WHERE rank <= {TOPK}
 
     # serving tier shares the phrase-scoring oracle
     sql["local_phrase_topk"] = sql["phrase_weighted_topk"]
+    # same queries entering as rendered Indri query-language strings
+    sql["indri_query_topk"] = sql["phrase_weighted_topk"]
 
     fetch_list = ", ".join(str(i) for i in FETCH_IDS)
     sql["doc_fetch"] = f"""
@@ -1766,6 +1797,7 @@ SPARK_QUERIES = {
     "od_bigram_postings": q_od_bigram_postings,
     "uw_pair_counts": q_uw_pair_counts,
     "phrase_weighted_topk": q_phrase_weighted_topk,
+    "indri_query_topk": q_indri_query_topk,
     "doc_fetch": q_doc_fetch,
     "stats_by_source": q_stats_by_source,
     "bigram_stats": q_bigram_stats,

@@ -615,3 +615,13 @@ class LocalSearcher:
             ],
             k=k,
         )
+
+    def indri_topk(self, text: str, k: int = 10) -> list:
+        """Serve one Indri query-language string (the grammar subset in
+        ``indriql``: #weight/#combine/#odN/#N/#uwN plus bare terms) —
+        the serving-tier analogue of IndriRunQuery executing a cfg
+        query, rank-identical to ``scoring.phrase.indri_query_topk``."""
+        from ..indriql import parse_indri_query
+
+        term_clauses, phrase_clauses = parse_indri_query(text)
+        return self.phrase_topk(term_clauses, phrase_clauses, k=k)

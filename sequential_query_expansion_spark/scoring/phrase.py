@@ -265,3 +265,26 @@ def concept_query_topk(
     )
     pc = phrase_clauses_df(spark, phrase_rows) if phrase_rows else None
     return phrase_weighted_topk(index, positional, tc, pc, k=k, **kw)
+
+
+def indri_query_topk(
+    spark: SparkSession,
+    index: IndexTables,
+    positional: DataFrame,
+    topics: Dict[str, str],
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """{qid: Indri query-language string} -> top-k. Executes the strings
+    the reference's indriRunQuery.cfg `<query><text>` blocks carry
+    (`#weight(.. #combine(..) #odN(..) #uwN(..))`), parsed by
+    ``indriql.parse_indri_topics`` into the same clause form
+    ``phrase_weighted_topk`` scores."""
+    from ..indriql import parse_indri_topics
+
+    term_rows, phrase_rows = parse_indri_topics(topics)
+    tc = spark.createDataFrame(
+        term_rows, "qid string, term string, weight double"
+    )
+    pc = phrase_clauses_df(spark, phrase_rows) if phrase_rows else None
+    return phrase_weighted_topk(index, positional, tc, pc, k=k, **kw)

@@ -211,6 +211,40 @@ def test_local_rm3_all_absent_terms(disk_index_dv):
     assert s.rm3_topk(["nosuchterm_zzz"], k=5) == []
 
 
+def test_local_indri_query_matches_concept_rendering(disk_index_pos):
+    """indri_topk executing the rendered Indri STRING must reproduce
+    concept_topk on the underlying phrase — same parse as the Spark
+    indri_query_topk path. The strings below are exactly what the
+    reference's rendering loop emits for 2- and 3-term concepts."""
+    out_dir, _ = disk_index_pos
+    s = LocalSearcher(out_dir)
+    cases = {
+        "hash join": (
+            "#weight(0.8 #combine(hash join) "
+            "0.1 #od4(hash join) 0.1 #uw9(hash join))"
+        ),
+        "group agg sort": (
+            "#weight(0.8 #combine(group agg sort) "
+            "0.1 #combine(#od4(group agg) #od4(agg sort)) "
+            "0.1 #uw13(group agg sort))"
+        ),
+    }
+    for phrase, text in cases.items():
+        got = s.indri_topk(text, k=10)
+        want = s.concept_topk(phrase, k=10)
+        assert got, phrase
+        assert got == want, phrase
+
+
+def test_local_indri_query_bare_terms(disk_index):
+    """Term-only Indri strings serve without a positional stage."""
+    out_dir, _ = disk_index
+    s = LocalSearcher(out_dir)
+    got = s.indri_topk("#combine(hash join)", k=5)
+    want = s.phrase_topk([("hash", 0.5), ("join", 0.5)], [], k=5)
+    assert got and got == want
+
+
 def test_local_phrase_requires_positional_stage(disk_index):
     out_dir, _ = disk_index
     s = LocalSearcher(out_dir)
