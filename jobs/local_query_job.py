@@ -23,6 +23,9 @@ rankings match the Spark job's ``--rm3`` output. ``--indri`` treats
 topic text as Indri query-language strings (#weight/#combine/#odN/#uwN)
 served through the phrase-clause scorer, matching the Spark job's
 ``--indri`` output; window operators need the positional stage.
+``--indri --rm3`` together run the reference's full configuration —
+RM3 PRF over the structured query (fbDocs/fbTerms alongside the
+rendered #weight in one cfg) — needing both optional stages.
 
 Spark remains the system of record (build/merge/compact/delete); any
 number of these stateless searchers mount the published index read-only.
@@ -89,13 +92,22 @@ def main() -> int:
 
     t0 = time.perf_counter()
     if args.indri:
-        if args.rm3 or args.method != "bm25":
+        if args.method != "bm25":
             raise SystemExit("--indri runs the phrase-clause BM25 scorer "
-                             "(no --rm3/--method combination)")
-        results = {
-            qid: searcher.indri_topk(text, k=args.k)
-            for qid, text in topics.items()
-        }
+                             "(no --method combination)")
+        if args.rm3:
+            results = {
+                qid: searcher.indri_rm3_topk(
+                    text, k=args.k, fb_docs=args.fb_docs,
+                    fb_terms=args.fb_terms, orig_weight=args.orig_weight,
+                )
+                for qid, text in topics.items()
+            }
+        else:
+            results = {
+                qid: searcher.indri_topk(text, k=args.k)
+                for qid, text in topics.items()
+            }
     elif args.rm3:
         if args.method not in ("bm25", "dir"):
             raise SystemExit("--rm3 supports --method bm25 or dir")

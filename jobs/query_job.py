@@ -14,6 +14,8 @@ two-stage smoothing (--method two, Indri method:two).
 (`#weight/#combine/#odN/#uwN`, the strings an indriRunQuery.cfg
 carries) executed through the phrase-clause scorer — requires an index
 published with the positional stage when window operators appear.
+``--indri --rm3`` composes them: RM3 PRF over the structured query,
+the reference's full cfg configuration.
 
 Topics format: `qid:text` lines (clueWeb style) or TREC SGML (auto by
 extension .sgml). Local smoke:
@@ -79,24 +81,32 @@ def main() -> int:
     else:
         topics = trec.read_topics_lines(spark, args.topics)
     if args.indri:
-        if args.rm3 or args.method != "bm25":
+        if args.method != "bm25":
             raise SystemExit("--indri runs the phrase-clause BM25 scorer "
-                             "(no --rm3/--method combination)")
-        from sequential_query_expansion_spark.scoring.phrase import (
-            indri_query_topk,
-        )
-
-        tmap = {r["qid"]: r["text"] for r in topics.collect()}
+                             "(no --method combination)")
         from sequential_query_expansion_spark.indriql import (
             parse_indri_topics,
         )
+        from sequential_query_expansion_spark.scoring.phrase import (
+            indri_query_topk, indri_rm3_topk,
+        )
 
+        tmap = {r["qid"]: r["text"] for r in topics.collect()}
         if parse_indri_topics(tmap)[1] and idx.positional is None:
             raise SystemExit(
                 "--indri with #odN/#uwN operators requires an index "
                 "published with --with-positions"
             )
-        run = indri_query_topk(spark, idx, idx.positional, tmap, k=args.k)
+        if args.rm3:
+            run = indri_rm3_topk(
+                spark, idx, idx.positional, tmap, k=args.k,
+                fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+                orig_weight=args.orig_weight,
+            )
+        else:
+            run = indri_query_topk(
+                spark, idx, idx.positional, tmap, k=args.k
+            )
         trec.write_trec_run(run, args.output, tag="sqe-spark")
         print(f"wrote run ({run.count()} rows) -> {args.output}")
         return 0

@@ -397,6 +397,65 @@ def q_local_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _concept_indri_topics() -> dict:
+    """CONCEPT_PHRASES rendered as the Indri strings an
+    indriRunQuery.cfg carries (all 2-term phrases here)."""
+    return {
+        qid: (
+            f"#weight({W_TERM} #combine({p}) "
+            f"{W_OD} #od4({p}) {W_UW} #uw{UW2_N}({p}))"
+        )
+        for qid, p in CONCEPT_PHRASES.items()
+    }
+
+
+def q_phrase_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 × R2: RM3 PRF over the STRUCTURED concept queries — the
+    reference's full entry-point-1 retrieval, whose cfgs carry the
+    rendered #weight query AND <fbDocs>/<fbTerms> together
+    (umls/umlsSeqPubMed.ipynb:602-603): feedback run on the phrase
+    clauses, RM1 expansion, final interpolated re-run."""
+    from .scoring.phrase import indri_rm3_topk
+    from .webtext import positional_index
+
+    idx = doc_index(spark, sf_dir)
+    positional = positional_index(spark, sf_dir)
+    out = indri_rm3_topk(
+        spark, idx, positional, _concept_indri_topics(), k=TOPK,
+        fb_docs=FB_DOCS, fb_terms=FB_TERMS, orig_weight=ORIG_W,
+        rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
+def q_local_indri_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier analogue of q_phrase_rm3_topk: the whole
+    structured-query PRF loop (phrase feedback run, stored-forward-index
+    RM1, interpolated re-run) in ``LocalSearcher`` without Spark —
+    shares phrase_rm3_topk's oracle."""
+    from .scoring.local import LocalSearcher
+    from .webtext import disk_index_dir
+
+    searcher = LocalSearcher(disk_index_dir(spark, sf_dir))
+    rows = []
+    for qid, text in sorted(_concept_indri_topics().items()):
+        res = searcher.indri_rm3_topk(
+            text, k=TOPK, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+            orig_weight=ORIG_W, rank_round=RANK_ROUND,
+        )
+        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
+    return spark.createDataFrame(
+        rows, "qid string, doc_id long, rank long, score double"
+    )
+
+
 def q_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood top-k (the reference's `method:dir,
     mu:1600` rule, configs/trec7n8) — same query set and top-k contract
@@ -679,15 +738,9 @@ def q_indri_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = doc_index(spark, sf_dir)
     positional = positional_index(spark, sf_dir)
-    topics = {
-        qid: (
-            f"#weight({W_TERM} #combine({p}) "
-            f"{W_OD} #od4({p}) {W_UW} #uw{UW2_N}({p}))"
-        )
-        for qid, p in CONCEPT_PHRASES.items()
-    }
     out = indri_query_topk(
-        spark, idx, positional, topics, k=TOPK, rank_round=RANK_ROUND
+        spark, idx, positional, _concept_indri_topics(), k=TOPK,
+        rank_round=RANK_ROUND,
     )
     return out.select(
         "qid",
@@ -1622,6 +1675,56 @@ FROM ptopk WHERE rank <= {TOPK}
     # same queries entering as rendered Indri query-language strings
     sql["indri_query_topk"] = sql["phrase_weighted_topk"]
 
+    # RM3 over the structured queries: feedback = the phrase-scored
+    # top-FB_DOCS, RM1 over raw tf/dl, final = ORIG_W·phrase_score +
+    # expansion-term BM25 (orig clause mass is 0.8+0.1+0.1 = 1.0)
+    sql["phrase_rm3_topk"] = f"""
+WITH {_BASE},{",".join(pw_ctes)},
+contribs AS ({" UNION ALL ".join(pw_contribs)}),
+pscored AS (
+  SELECT qid, doc_id, sum(contrib) AS score FROM contribs GROUP BY qid, doc_id),
+ptopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM pscored),
+fbtop AS (SELECT qid, doc_id, score FROM ptopk WHERE rank <= {FB_DOCS}),
+fb AS (SELECT qid, doc_id,
+              score / sum(score) OVER (PARTITION BY qid) AS w_doc FROM fbtop),
+rm1 AS (
+  SELECT fb.qid, tf.term, sum(fb.w_doc * tf.tf::DOUBLE / dl.dl) AS w
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id JOIN dl ON dl.doc_id = fb.doc_id
+  GROUP BY fb.qid, tf.term),
+rm1top AS (
+  SELECT * FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(w, {RANK_ROUND + 3}) DESC, term) AS rn
+    FROM rm1) WHERE rn <= {FB_TERMS}),
+rm1n AS (SELECT qid, term,
+                {1.0 - ORIG_W} * w / sum(w) OVER (PARTITION BY qid) AS weight
+         FROM rm1top),
+expc AS (
+  SELECT r.qid, tf.doc_id,
+         r.weight * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+         * tf.tf * {K1 + 1.0}
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM rm1n r JOIN tf ON tf.term = r.term JOIN vocab v ON v.term = r.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+pfinal AS (
+  SELECT qid, doc_id, sum(c) AS score FROM (
+    SELECT qid, doc_id, {ORIG_W} * score AS c FROM pscored
+    UNION ALL SELECT qid, doc_id, c FROM expc) GROUP BY qid, doc_id),
+pftopk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM pfinal)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM pftopk WHERE rank <= {TOPK}
+"""
+    sql["local_indri_rm3_topk"] = sql["phrase_rm3_topk"]
+
     fetch_list = ", ".join(str(i) for i in FETCH_IDS)
     sql["doc_fetch"] = f"""
 SELECT doc_id, text, lang, source FROM documents WHERE doc_id IN ({fetch_list})
@@ -1798,6 +1901,8 @@ SPARK_QUERIES = {
     "uw_pair_counts": q_uw_pair_counts,
     "phrase_weighted_topk": q_phrase_weighted_topk,
     "indri_query_topk": q_indri_query_topk,
+    "phrase_rm3_topk": q_phrase_rm3_topk,
+    "local_indri_rm3_topk": q_local_indri_rm3_topk,
     "doc_fetch": q_doc_fetch,
     "stats_by_source": q_stats_by_source,
     "bigram_stats": q_bigram_stats,

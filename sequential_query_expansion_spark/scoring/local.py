@@ -576,17 +576,9 @@ class LocalSearcher:
             w_doc = scores / scores.sum()
         w_by_doc = {d: w for (d, _), w in zip(fb_run, w_doc)}
 
-        dv = self._fetch_doc_vectors(list(w_by_doc))
-        dv = dv.assign(
-            contrib=dv["doc_id"].map(w_by_doc) * dv["tf"] / dv["dl"]
+        rm1_n = (1.0 - orig_weight) * self._rm1_terms(
+            w_by_doc, fb_terms, rank_round
         )
-        rm1 = dv.groupby("term")["contrib"].sum()
-        sort_key = (
-            rm1.round(rank_round + 3) if rank_round is not None else rm1
-        )
-        order = sorted(rm1.index, key=lambda t: (-sort_key[t], t))[:fb_terms]
-        top_w = rm1[order]
-        rm1_n = (1.0 - orig_weight) * top_w / top_w.sum()
 
         n_q = sum(weights.values())
         expanded: dict[str, float] = {
@@ -598,6 +590,78 @@ class LocalSearcher:
         if method == "dir":
             return self.lm_topk(expanded, k=k, method="dir", mu=mu)
         return self.topk(expanded, k=k)
+
+    def _rm1_terms(self, w_by_doc: dict, fb_terms: int,
+                   rank_round: int | None) -> pd.Series:
+        """Relevance model over the feedback docs' stored vectors:
+        P(t|R) = Σ_d w_d·tf/dl, top ``fb_terms`` by (weight desc, term
+        asc) selected on ROUNDED keys when ``rank_round`` is set,
+        renormalized to a distribution."""
+        dv = self._fetch_doc_vectors(list(w_by_doc))
+        dv = dv.assign(
+            contrib=dv["doc_id"].map(w_by_doc) * dv["tf"] / dv["dl"]
+        )
+        rm1 = dv.groupby("term")["contrib"].sum()
+        sort_key = (
+            rm1.round(rank_round + 3) if rank_round is not None else rm1
+        )
+        order = sorted(rm1.index, key=lambda t: (-sort_key[t], t))[:fb_terms]
+        top_w = rm1[order]
+        return top_w / top_w.sum()
+
+    def indri_rm3_topk(
+        self,
+        text: str,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 20,
+        orig_weight: float = 0.5,
+        rank_round: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """RM3 PRF on top of a STRUCTURED (Indri query-language) query —
+        the reference's actual configuration: its concept-query cfgs
+        carry <fbDocs>/<fbTerms> alongside the #weight rendering, so
+        Indri expands the structured query and interpolates
+        `#weight(ow orig (1-ow) expansion)`.
+
+        Feedback run = the phrase-clause scorer on the parsed query; doc
+        weights score-proportional; RM1 off the stored forward index;
+        the final pass re-scores ONE combined clause set — original
+        clauses scaled by ow/Σw_orig, expansion terms at (1-ow)·w.
+        Rank-identical to ``scoring.phrase.phrase_rm3_topk``."""
+        from ..indriql import parse_indri_query
+
+        term_clauses, phrase_clauses = parse_indri_query(text)
+        fb_run = self.phrase_topk(term_clauses, phrase_clauses, k=fb_docs)
+        if rank_round is not None:
+            fb_run = sorted(
+                fb_run, key=lambda ds: (-round(ds[1], rank_round), ds[0])
+            )[:fb_docs]
+        if not fb_run:
+            return []
+        scores = np.array([s for _, s in fb_run])
+        w_by_doc = {
+            d: w for (d, _), w in zip(fb_run, scores / scores.sum())
+        }
+        rm1_n = (1.0 - orig_weight) * self._rm1_terms(
+            w_by_doc, fb_terms, rank_round
+        )
+
+        mass = sum(w for _, w in term_clauses) + sum(
+            w for _, _, _, w in phrase_clauses
+        )
+        expanded: dict[str, float] = {
+            t: orig_weight * w / mass for t, w in term_clauses
+        }
+        for t, w in rm1_n.items():
+            expanded[t] = expanded.get(t, 0.0) + float(w)
+        scaled_phrases = [
+            (terms, n, ordered, orig_weight * w / mass)
+            for terms, n, ordered, w in phrase_clauses
+        ]
+        return self.phrase_topk(
+            sorted(expanded.items()), scaled_phrases, k=k
+        )
 
     def concept_topk(self, phrase: str, k: int = 10, **kw) -> list:
         """One concept query under the reference's rendering

@@ -267,6 +267,126 @@ def concept_query_topk(
     return phrase_weighted_topk(index, positional, tc, pc, k=k, **kw)
 
 
+def phrase_rm3_topk(
+    spark: SparkSession,
+    index: IndexTables,
+    positional: DataFrame,
+    term_clauses: DataFrame,
+    phrase_clauses: DataFrame | None,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
+    k1: float = K1,
+    b: float = B,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """RM3 PRF on top of a structured (#weight / phrase-clause) query —
+    the reference's ACTUAL retrieval configuration: every concept-query
+    cfg carries <fbDocs>/<fbTerms> alongside the rendered #weight query
+    (configs/*/indriRunQuery.cfg tails; umls/umlsSeqPubMed.ipynb:
+    602-603), so Indri expands the STRUCTURED query with a relevance
+    model and interpolates `#weight(ow orig (1-ow) expansion)`.
+
+    Steps: (1) feedback run = ``phrase_weighted_topk`` on the original
+    clauses; (2) doc weights score-proportional per qid; (3) RM1 joins
+    ``postings_flat`` against the tiny broadcast feedback set (the big
+    table never shuffles); (4) top ``fb_terms`` by (weight desc, term
+    asc) on rounded keys, renormalized, ×(1-ow); (5) final pass is ONE
+    ``phrase_weighted_topk`` over the combined clause set — original
+    clauses scaled by ow/Σw_orig plus the expansion terms — since BM25
+    clause mixing is linear in the weights, that equals
+    ow·orig_score + (1-ow)·expansion_score."""
+    fb = phrase_weighted_topk(
+        index, positional, term_clauses, phrase_clauses,
+        k=fb_docs, k1=k1, b=b, rank_round=rank_round,
+    ).select("qid", "doc_id", "score")
+    w_tot = Window.partitionBy("qid")
+    fbw = fb.withColumn(
+        "w_doc", F.col("score") / F.sum("score").over(w_tot)
+    ).select("qid", "doc_id", "w_doc")
+
+    rm1 = (
+        index.postings_flat.join(F.broadcast(fbw), "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.sum(F.col("w_doc") * F.col("tf") / F.col("dl")).alias("w"))
+    )
+    sort_w = (
+        F.round("w", rank_round + 3) if rank_round is not None else F.col("w")
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc(sort_w), F.asc("term"))
+    rm1_top = rm1.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= fb_terms
+    )
+    rm1_n = rm1_top.withColumn(
+        "w_n", F.col("w") / F.sum("w").over(w_tot)
+    ).select(
+        "qid", "term",
+        (F.lit(1.0 - orig_weight) * F.col("w_n")).alias("weight"),
+    )
+
+    # per-qid original clause mass (Σ term weights + Σ phrase weights);
+    # scaling every original clause by ow/mass makes the final linear
+    # score ow·orig + (1-ow)·expansion regardless of how the input
+    # #weight was normalized
+    t_mass = term_clauses.groupBy("qid").agg(F.sum("weight").alias("mass"))
+    if phrase_clauses is not None:
+        p_mass = phrase_clauses.groupBy("qid").agg(
+            F.sum("weight").alias("mass")
+        )
+        mass = (
+            t_mass.unionByName(p_mass)
+            .groupBy("qid")
+            .agg(F.sum("mass").alias("mass"))
+        )
+    else:
+        mass = t_mass
+    orig_terms = term_clauses.join(F.broadcast(mass), "qid").select(
+        "qid", "term",
+        (F.lit(orig_weight) * F.col("weight") / F.col("mass")).alias("weight"),
+    )
+    tc_final = (
+        orig_terms.unionByName(rm1_n)
+        .groupBy("qid", "term")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    pc_final = (
+        phrase_clauses.join(F.broadcast(mass), "qid")
+        .select(
+            "qid", "clause_id", "terms", "n", "ordered",
+            (F.lit(orig_weight) * F.col("weight") / F.col("mass"))
+            .alias("weight"),
+        )
+        if phrase_clauses is not None
+        else None
+    )
+    return phrase_weighted_topk(
+        index, positional, tc_final, pc_final,
+        k=k, k1=k1, b=b, rank_round=rank_round,
+    )
+
+
+def indri_rm3_topk(
+    spark: SparkSession,
+    index: IndexTables,
+    positional: DataFrame,
+    topics: Dict[str, str],
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """{qid: Indri query string} -> RM3-expanded top-k (parse via
+    ``indriql``, then ``phrase_rm3_topk``) — IndriRunQuery with
+    fbDocs/fbTerms set, end to end."""
+    from ..indriql import parse_indri_topics
+
+    term_rows, phrase_rows = parse_indri_topics(topics)
+    tc = spark.createDataFrame(
+        term_rows, "qid string, term string, weight double"
+    )
+    pc = phrase_clauses_df(spark, phrase_rows) if phrase_rows else None
+    return phrase_rm3_topk(spark, index, positional, tc, pc, k=k, **kw)
+
+
 def indri_query_topk(
     spark: SparkSession,
     index: IndexTables,
