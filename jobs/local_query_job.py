@@ -88,7 +88,6 @@ def main() -> int:
 
     searcher = LocalSearcher(args.index)
     topics = read_topics(args.topics)
-    queries = {qid: tokenize_py(text) for qid, text in topics.items()}
 
     t0 = time.perf_counter()
     if args.indri:
@@ -108,22 +107,26 @@ def main() -> int:
                 qid: searcher.indri_topk(text, k=args.k)
                 for qid, text in topics.items()
             }
-    elif args.rm3:
-        if args.method not in ("bm25", "dir"):
-            raise SystemExit("--rm3 supports --method bm25 or dir")
-        results = {
-            qid: searcher.rm3_topk(
-                q, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
-                orig_weight=args.orig_weight, method=args.method, mu=args.mu,
-            )
-            for qid, q in queries.items()
-        }
-    elif args.method == "bm25":
-        results = searcher.batch_topk(queries, k=args.k)
     else:
-        results = searcher.batch_topk(
-            queries, k=args.k, method=args.method, mu=args.mu, lam=args.lam
-        )
+        queries = {qid: tokenize_py(text) for qid, text in topics.items()}
+        if args.rm3:
+            if args.method not in ("bm25", "dir"):
+                raise SystemExit("--rm3 supports --method bm25 or dir")
+            results = {
+                qid: searcher.rm3_topk(
+                    q, k=args.k, fb_docs=args.fb_docs,
+                    fb_terms=args.fb_terms, orig_weight=args.orig_weight,
+                    method=args.method, mu=args.mu,
+                )
+                for qid, q in queries.items()
+            }
+        elif args.method == "bm25":
+            results = searcher.batch_topk(queries, k=args.k)
+        else:
+            results = searcher.batch_topk(
+                queries, k=args.k, method=args.method, mu=args.mu,
+                lam=args.lam,
+            )
     wall = time.perf_counter() - t0
 
     names: dict[int, str] = {}

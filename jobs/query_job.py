@@ -88,25 +88,29 @@ def main() -> int:
             parse_indri_topics,
         )
         from sequential_query_expansion_spark.scoring.phrase import (
-            indri_query_topk, indri_rm3_topk,
+            phrase_clauses_df, phrase_rm3_topk, phrase_weighted_topk,
         )
 
+        # parse once, feed the clause tables to the scorer directly
         tmap = {r["qid"]: r["text"] for r in topics.collect()}
-        if parse_indri_topics(tmap)[1] and idx.positional is None:
+        term_rows, phrase_rows = parse_indri_topics(tmap)
+        if phrase_rows and idx.positional is None:
             raise SystemExit(
                 "--indri with #odN/#uwN operators requires an index "
                 "published with --with-positions"
             )
+        tc = spark.createDataFrame(
+            term_rows, "qid string, term string, weight double"
+        )
+        pc = phrase_clauses_df(spark, phrase_rows) if phrase_rows else None
         if args.rm3:
-            run = indri_rm3_topk(
-                spark, idx, idx.positional, tmap, k=args.k,
+            run = phrase_rm3_topk(
+                spark, idx, idx.positional, tc, pc, k=args.k,
                 fb_docs=args.fb_docs, fb_terms=args.fb_terms,
                 orig_weight=args.orig_weight,
             )
         else:
-            run = indri_query_topk(
-                spark, idx, idx.positional, tmap, k=args.k
-            )
+            run = phrase_weighted_topk(idx, idx.positional, tc, pc, k=args.k)
         trec.write_trec_run(run, args.output, tag="sqe-spark")
         print(f"wrote run ({run.count()} rows) -> {args.output}")
         return 0

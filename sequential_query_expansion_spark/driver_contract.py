@@ -331,10 +331,10 @@ def _local_searcher_run(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
         if is_rm3:
             res = searcher.rm3_topk(qmap[qid], k=TOPK, **kw)
         elif kw:
-            res = searcher.lm_topk(qmap[qid], k=TOPK, **kw)
+            res = searcher.lm_topk(qmap[qid], k=TOPK,
+                                   rank_round=RANK_ROUND, **kw)
         else:
-            res = searcher.topk(qmap[qid], k=TOPK)
-        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
+            res = searcher.topk(qmap[qid], k=TOPK, rank_round=RANK_ROUND)
         for rank, (doc_id, score) in enumerate(res, 1):
             rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
     return spark.createDataFrame(
@@ -388,8 +388,8 @@ def q_local_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     searcher = LocalSearcher(disk_index_dir(spark, sf_dir))
     rows = []
     for qid in sorted(CONCEPT_PHRASES):
-        res = searcher.concept_topk(CONCEPT_PHRASES[qid], k=TOPK)
-        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
+        res = searcher.concept_topk(CONCEPT_PHRASES[qid], k=TOPK,
+                                    rank_round=RANK_ROUND)
         for rank, (doc_id, score) in enumerate(res, 1):
             rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
     return spark.createDataFrame(
@@ -448,7 +448,6 @@ def q_local_indri_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             text, k=TOPK, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
             orig_weight=ORIG_W, rank_round=RANK_ROUND,
         )
-        res = sorted(res, key=lambda ds: (-round(ds[1], RANK_ROUND), ds[0]))
         for rank, (doc_id, score) in enumerate(res, 1):
             rows.append((qid, doc_id, rank, round(score, SCORE_ROUND)))
     return spark.createDataFrame(

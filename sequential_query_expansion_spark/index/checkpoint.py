@@ -133,7 +133,11 @@ def build_index_checkpointed(
         idx.docmap.sort("doc_id").write.mode("overwrite").parquet(
             os.path.join(out_dir, "docmap")
         )
-        idx.doc_len.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_len"))
+        # doc_len sorted too: the serving tier's live-mode init fetches
+        # the tombstoned ids' dls through the same row-group pruning
+        idx.doc_len.sort("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_len")
+        )
         idx.vocab.write.mode("overwrite").parquet(os.path.join(out_dir, "vocab"))
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(

@@ -221,12 +221,20 @@ def compact_index(spark: SparkSession, out_dir: str,
         # doc tables
         for name in ("docmap", "doc_len", "doc_vectors"):
             p = os.path.join(out_dir, name)
+            tmp = p + ".compact.tmp"
+            if not os.path.isdir(p) and os.path.isdir(tmp):
+                # a previous compact crashed between rmtree(p) and the
+                # replace below; tmp holds that run's FINISHED rewrite
+                # (written before the rmtree), so restoring it keeps the
+                # "re-run compact repairs any crash" contract — without
+                # this, doc_vectors would silently vanish (optional-stage
+                # continue) and docmap/doc_len would fail the read
+                os.replace(tmp, p)
             if name == "doc_vectors" and not os.path.isdir(p):
-                continue  # optional forward-index stage
+                continue  # optional forward-index stage, never published
             kept = spark.read.parquet(p).join(
                 F.broadcast(tomb), "doc_id", "left_anti"
             ).sort("doc_id")  # keep the publish-time doc_id sort
-            tmp = p + ".compact.tmp"
             kept.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(p)
             os.replace(tmp, p)

@@ -164,6 +164,12 @@ def _flatten(node, w: float, terms: dict, phrases: list, text: str) -> None:
             _flatten(c, w / len(children), terms, phrases, text)
     elif kind == "weight":
         pairs = node[1]
+        if any(wi < 0 for wi, _ in pairs):
+            raise ValueError(
+                f"indriql: negative #weight weight in query {text!r} "
+                "(Indri rejects these; a stray '-' would silently "
+                "demote matching docs)"
+            )
         tot = sum(wi for wi, _ in pairs)
         if tot <= 0:
             raise ValueError(
@@ -178,11 +184,17 @@ def _flatten(node, w: float, terms: dict, phrases: list, text: str) -> None:
         else:
             phrases.append((toks, node[1], True, w))
     elif kind == "uw":
-        toks = _norm_window_terms(node[2], "#uw", text)
+        # #uwN semantics collapse duplicate terms to their unique set —
+        # same policy as index.positions.phrase_counts and the concept
+        # renderer (joining a term's positions twice double-counts)
+        raw = _norm_window_terms(node[2], "#uw", text)
+        toks = list(dict.fromkeys(raw))
         if len(toks) == 1:
             terms[toks[0]] = terms.get(toks[0], 0.0) + w
         else:
-            n = node[1] if node[1] is not None else default_uw_n(len(toks))
+            # default width from the SURFACE length (render_concept_
+            # clauses' 4m+1 uses the phrase length pre-dedup too)
+            n = node[1] if node[1] is not None else default_uw_n(len(raw))
             phrases.append((toks, n, False, w))
     else:  # pragma: no cover
         raise AssertionError(kind)

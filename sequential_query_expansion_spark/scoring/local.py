@@ -243,11 +243,18 @@ class LocalSearcher:
             weights[t] = weights.get(t, 0.0) + float(w)
         return weights
 
-    def topk(self, query_terms, k: int = 10) -> list[tuple[int, float]]:
+    def topk(self, query_terms, k: int = 10,
+             rank_round: int | None = None) -> list[tuple[int, float]]:
         """``query_terms``: {term: weight} or [(term, weight), ...] (a
         bare list of terms gets weight 1.0 each, duplicates summed).
         Returns [(doc_id, score)] sorted (score desc, doc_id asc).
+        ``rank_round`` selects/sorts on round(score, d) like the Spark
+        scorers' cross-engine float policy (see ``_rounded_topk``).
         """
+        if rank_round is not None:
+            return self._rounded_topk(
+                lambda kk: self.topk(query_terms, k=kk), k, rank_round
+            )
         weights = self._weights(query_terms)
         rows = self._fetch_terms(list(weights))
         if self._tomb is not None:
@@ -341,6 +348,7 @@ class LocalSearcher:
         method: str = "dir",
         mu: float = 1600.0,
         lam: float = 0.4,
+        rank_round: int | None = None,
     ) -> list[tuple[int, float]]:
         """Language-model top-k off the on-disk index, rank-identical to
         the Spark scorers (scoring/lm.py): ``method="dir"`` is Dirichlet
@@ -357,6 +365,13 @@ class LocalSearcher:
         """
         if method not in ("dir", "two"):
             raise ValueError(f"unknown LM method {method!r}")
+        if rank_round is not None:
+            return self._rounded_topk(
+                lambda kk: self.lm_topk(
+                    query_terms, k=kk, method=method, mu=mu, lam=lam
+                ),
+                k, rank_round,
+            )
         weights = self._weights(query_terms)
         rows = self._fetch_terms(list(weights))
         c_total = float(round(self.n_docs * self.avgdl))  # Σ dl, exact
@@ -423,6 +438,7 @@ class LocalSearcher:
         term_clauses: list[tuple[str, float]],
         phrase_clauses: list[tuple[list, int, bool, float]],
         k: int = 10,
+        rank_round: int | None = None,
     ) -> list[tuple[int, float]]:
         """`#weight(...)` mixing plain terms and window clauses, served
         off the on-disk index — rank-identical to
@@ -440,6 +456,12 @@ class LocalSearcher:
         from ..functions.positional import od_count_positions
         from ..index.positions import _uw_from_positions
 
+        if rank_round is not None:
+            return self._rounded_topk(
+                lambda kk: self.phrase_topk(term_clauses, phrase_clauses,
+                                            k=kk),
+                k, rank_round,
+            )
         all_terms = sorted(
             {t for t, _ in term_clauses}
             | {t for terms, _, _, _ in phrase_clauses for t in terms}
@@ -556,26 +578,24 @@ class LocalSearcher:
         ``rank_round`` mirrors the Spark scorers' cross-engine float
         policy: feedback docs and fb terms are selected on ROUNDED keys.
         """
+        if method not in ("bm25", "dir"):
+            raise ValueError(
+                f"unknown RM3 method {method!r}; choose 'bm25' or 'dir' "
+                "(same contract as expansion.rm3.rm3_expand_df)"
+            )
         weights = self._weights(query_terms)
         if method == "dir":
-            fb_run = self.lm_topk(weights, k=fb_docs, method="dir", mu=mu)
+            fb_run = self._rounded_topk(
+                lambda kk: self.lm_topk(weights, k=kk, method="dir", mu=mu),
+                fb_docs, rank_round,
+            )
         else:
-            fb_run = self.topk(weights, k=fb_docs)
-        if rank_round is not None:
-            fb_run = sorted(
-                fb_run, key=lambda ds: (-round(ds[1], rank_round), ds[0])
-            )[:fb_docs]
+            fb_run = self._rounded_topk(
+                lambda kk: self.topk(weights, k=kk), fb_docs, rank_round
+            )
         if not fb_run:
             return []
-
-        scores = np.array([s for _, s in fb_run])
-        if method == "dir":
-            e = np.exp(scores - scores.max())  # stable softmax posterior
-            w_doc = e / e.sum()
-        else:
-            w_doc = scores / scores.sum()
-        w_by_doc = {d: w for (d, _), w in zip(fb_run, w_doc)}
-
+        w_by_doc = self._fb_doc_weights(fb_run, method)
         rm1_n = (1.0 - orig_weight) * self._rm1_terms(
             w_by_doc, fb_terms, rank_round
         )
@@ -588,8 +608,49 @@ class LocalSearcher:
             expanded[t] = expanded.get(t, 0.0) + float(w)
 
         if method == "dir":
-            return self.lm_topk(expanded, k=k, method="dir", mu=mu)
-        return self.topk(expanded, k=k)
+            return self.lm_topk(expanded, k=k, method="dir", mu=mu,
+                                rank_round=rank_round)
+        return self.topk(expanded, k=k, rank_round=rank_round)
+
+    def _rounded_topk(self, run, k: int, rank_round: int | None) -> list:
+        """Emulate the Spark scorers' selection on round(score,
+        rank_round) (tie-break doc_id asc) with an exact-score top-k
+        runner ``run(k')``. Over-fetch until every doc that ties the
+        k-th selected doc on the ROUNDED key is inside the pool: any doc
+        outside the pool has exact score ≤ the pool's worst, and
+        rounding is monotone, so once worst_rounded < kth_rounded the
+        outside docs rank strictly below — selection is then exact."""
+        if rank_round is None:
+            return run(k)
+
+        def rsort(res):
+            return sorted(
+                res, key=lambda ds: (-round(ds[1], rank_round), ds[0])
+            )
+
+        pool = max(2 * k, k + 10)
+        while True:
+            res = run(pool)
+            if len(res) < pool or len(res) <= k:
+                break  # the pool is the entire candidate set
+            kth = round(rsort(res)[k - 1][1], rank_round)
+            if round(res[-1][1], rank_round) < kth:
+                break
+            pool *= 4
+        return rsort(res)[:k]
+
+    @staticmethod
+    def _fb_doc_weights(fb_run: list, method: str = "bm25") -> dict:
+        """Feedback-doc posterior weights: score-proportional for BM25
+        scores, stable softmax for log-QL (method='dir') — matching
+        expansion.rm3.rm3_expand_df."""
+        scores = np.array([s for _, s in fb_run])
+        if method == "dir":
+            e = np.exp(scores - scores.max())
+            w = e / e.sum()
+        else:
+            w = scores / scores.sum()
+        return {d: wi for (d, _), wi in zip(fb_run, w)}
 
     def _rm1_terms(self, w_by_doc: dict, fb_terms: int,
                    rank_round: int | None) -> pd.Series:
@@ -632,17 +693,13 @@ class LocalSearcher:
         from ..indriql import parse_indri_query
 
         term_clauses, phrase_clauses = parse_indri_query(text)
-        fb_run = self.phrase_topk(term_clauses, phrase_clauses, k=fb_docs)
-        if rank_round is not None:
-            fb_run = sorted(
-                fb_run, key=lambda ds: (-round(ds[1], rank_round), ds[0])
-            )[:fb_docs]
+        fb_run = self._rounded_topk(
+            lambda kk: self.phrase_topk(term_clauses, phrase_clauses, k=kk),
+            fb_docs, rank_round,
+        )
         if not fb_run:
             return []
-        scores = np.array([s for _, s in fb_run])
-        w_by_doc = {
-            d: w for (d, _), w in zip(fb_run, scores / scores.sum())
-        }
+        w_by_doc = self._fb_doc_weights(fb_run)
         rm1_n = (1.0 - orig_weight) * self._rm1_terms(
             w_by_doc, fb_terms, rank_round
         )
@@ -660,14 +717,17 @@ class LocalSearcher:
             for terms, n, ordered, w in phrase_clauses
         ]
         return self.phrase_topk(
-            sorted(expanded.items()), scaled_phrases, k=k
+            sorted(expanded.items()), scaled_phrases, k=k,
+            rank_round=rank_round,
         )
 
-    def concept_topk(self, phrase: str, k: int = 10, **kw) -> list:
+    def concept_topk(self, phrase: str, k: int = 10,
+                     rank_round: int | None = None, **kw) -> list:
         """One concept query under the reference's rendering
         `#weight(0.8 #combine(name) 0.1 #combine(#od4 bigrams) 0.1
         #uwN(name))` (umls/umlsSeqPubMed.ipynb:555-633) — the serving
-        analogue of ``scoring.phrase.concept_query_topk``."""
+        analogue of ``scoring.phrase.concept_query_topk``. Extra kwargs
+        go to ``render_concept_clauses`` (clause weights)."""
         from .phrase import render_concept_clauses
 
         term_rows, phrase_rows = render_concept_clauses([("q", phrase)], **kw)
@@ -678,9 +738,11 @@ class LocalSearcher:
                 for _, _, terms, n, ordered, w in phrase_rows
             ],
             k=k,
+            rank_round=rank_round,
         )
 
-    def indri_topk(self, text: str, k: int = 10) -> list:
+    def indri_topk(self, text: str, k: int = 10,
+                   rank_round: int | None = None) -> list:
         """Serve one Indri query-language string (the grammar subset in
         ``indriql``: #weight/#combine/#odN/#N/#uwN plus bare terms) —
         the serving-tier analogue of IndriRunQuery executing a cfg
@@ -688,4 +750,5 @@ class LocalSearcher:
         from ..indriql import parse_indri_query
 
         term_clauses, phrase_clauses = parse_indri_query(text)
-        return self.phrase_topk(term_clauses, phrase_clauses, k=k)
+        return self.phrase_topk(term_clauses, phrase_clauses, k=k,
+                                rank_round=rank_round)

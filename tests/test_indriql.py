@@ -84,6 +84,23 @@ def test_window_terms_normalized_through_engine_tokenizer():
     _close(d["lymphoma"], 0.5)
 
 
+def test_uw_duplicate_terms_collapse_to_unique_set():
+    """#uwN semantics collapse duplicates (same policy as
+    index.positions.phrase_counts and render_concept_clauses); the
+    default width still follows the SURFACE phrase length."""
+    _, pc = parse_indri_query("#uw13(new york new)")
+    assert pc == [(["new", "york"], 13, False, 1.0)]
+    _, pcd = parse_indri_query("#uw(new york new)")
+    assert pcd == [(["new", "york"], 13, False, 1.0)]  # 4·3+1
+    # duplicates collapsing to ONE term degenerate to a plain term
+    tc, pc1 = parse_indri_query("#uw4(spark spark)")
+    assert pc1 == [] and tc == [("spark", 1.0)]
+    # ordered windows keep duplicates: the od kernel chains strictly
+    # ascending positions, so #od1(a a) correctly needs two occurrences
+    _, pco = parse_indri_query("#od1(new york new)")
+    assert pco == [(["new", "york", "new"], 1, True, 1.0)]
+
+
 def test_single_term_window_degenerates_to_term():
     tc, pc = parse_indri_query("#od4(spark)")
     assert pc == [] and tc == [("spark", 1.0)]
@@ -144,6 +161,7 @@ def test_empty_query():
         "#combine(a",                # unbalanced paren
         "#combine()",                # empty group
         "#weight(0 a 0 b)",          # zero weight mass
+        "#weight(-1 a 3 b)",         # negative weight (Indri rejects)
         "#uw4(.,)",                  # window normalizes to nothing
     ],
 )

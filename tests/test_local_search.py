@@ -198,6 +198,36 @@ def test_local_rm3_rank_identical_to_spark(spark, disk_index_dv):
             assert got == expect, (method, qid)
 
 
+def test_rounded_topk_boundary_tie_matches_spark_selection(disk_index):
+    """Feedback-doc selection must mimic the Spark scorers' rank on
+    round(score, d): when a rounded-tie group straddles the k boundary,
+    the SMALLEST doc_ids in the group win, even if their exact scores
+    are lower — the over-fetch loop must widen the pool until the tie
+    group is fully inside."""
+    out_dir, _ = disk_index
+    s = LocalSearcher(out_dir)
+    # 20 docs, exact scores ascending with doc_id (jitter below the
+    # rounding grain), so exact-top-k order is doc_id DESC but every
+    # rounded score ties at 1.0 -> rounded selection is doc_id ASC
+    docs = [(i, 1.0 + i * 1e-9) for i in range(20)]
+
+    def run(k):
+        return sorted(docs, key=lambda ds: (-ds[1], ds[0]))[:k]
+
+    got = s._rounded_topk(run, 5, 6)
+    assert [d for d, _ in got] == [0, 1, 2, 3, 4]
+    # rank_round=None keeps the exact-score selection
+    got_exact = s._rounded_topk(run, 5, None)
+    assert [d for d, _ in got_exact] == [19, 18, 17, 16, 15]
+
+
+def test_local_rm3_rejects_unknown_method(disk_index_dv):
+    out_dir, _ = disk_index_dv
+    s = LocalSearcher(out_dir)
+    with pytest.raises(ValueError, match="unknown RM3 method"):
+        s.rm3_topk(["the"], k=5, method="two")
+
+
 def test_local_rm3_requires_doc_vectors_stage(disk_index):
     out_dir, _ = disk_index
     s = LocalSearcher(out_dir)

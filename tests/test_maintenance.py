@@ -232,6 +232,59 @@ def test_compact_purges_doc_vectors_stage(spark, docs_df, tmp_path_factory):
     assert res and not {d for d, _ in res} & set(DELETED)
 
 
+def test_compact_recovers_doc_table_swap_crash(spark, docs_df,
+                                               tmp_path_factory):
+    """Doc-table rewrites swap via tmp: a crash BETWEEN rmtree(p) and
+    os.replace(tmp, p) leaves the stage dir missing with the finished
+    rewrite in tmp. Re-running compact (the documented repair — the
+    _COMPACTING sentinel blocks readers meanwhile) must restore it, NOT
+    silently drop the optional doc_vectors stage."""
+    import shutil
+    from sequential_query_expansion_spark.scoring.local import LocalSearcher
+
+    out = str(tmp_path_factory.mktemp("maintcrash") / "idx")
+    build_index_checkpointed(spark, docs_df, out, salt_ranges=4,
+                             num_buckets=8, with_doc_vectors=True)
+    mt.delete_docs(spark, out, DELETED)
+
+    # simulate the crash window for doc_vectors: tmp fully written
+    # (tombstones applied), original dir removed, sentinel + tombstones
+    # still on disk
+    p = os.path.join(out, "doc_vectors")
+    tomb = mt.tombstones(spark, out)
+    spark.read.parquet(p).join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    ).sort("doc_id").write.parquet(p + ".compact.tmp")
+    shutil.rmtree(p)
+    open(os.path.join(out, "_COMPACTING"), "w").close()
+
+    mt.compact_index(spark, out)
+    dv = spark.read.parquet(p).toPandas()
+    assert len(dv) > 0
+    assert not set(dv.doc_id) & set(DELETED)
+    res = LocalSearcher(out).rm3_topk(
+        ["term00000", "term00001"], k=10, fb_docs=5, fb_terms=10
+    )
+    assert res and not {d for d, _ in res} & set(DELETED)
+
+
+def test_publish_sorts_doc_tables(spark, docs_df, tmp_path_factory):
+    """docmap, doc_len and doc_vectors publish globally sorted by
+    doc_id — the serving tier's point fetches (urls_for, live-mode
+    tombstone dls, PRF doc vectors) rely on parquet row-group min/max
+    pruning."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("maintsort") / "idx")
+    build_index_checkpointed(spark, docs_df.repartition(8), out,
+                             salt_ranges=4, num_buckets=8,
+                             with_doc_vectors=True)
+    for name in ("docmap", "doc_len", "doc_vectors"):
+        for f in glob.glob(os.path.join(out, name, "*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+            assert (np.diff(ids) >= 0).all(), (name, f)
+
+
 def test_compact_reduces_file_count(spark, docs_df, tmp_path_factory):
     """No tombstones → pure small-file compaction (one file per bucket)."""
     out = str(tmp_path_factory.mktemp("maint2") / "idx")
