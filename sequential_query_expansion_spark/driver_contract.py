@@ -27,6 +27,7 @@ from .operators import dedup, similarity, text_analysis
 from .scoring.bm25 import query_term_table, score_topk
 from .webtext import (
     WEB_QUERIES,
+    cooccur_edges,
     doc_index,
     load_documents,
     load_embeddings,
@@ -139,6 +140,130 @@ jpairs AS (
   JOIN shsz sb ON sb.doc_id = p.doc_b
 )
 """
+
+_FEATURES_SQL_ORDER = [
+    "expTDocScore", "topTermFrac", "numCanDocs", "avgCDocScore",
+    "maxCDocScore", "conIdf", "avgColCor", "maxColCor", "avgTopColCor",
+    "maxTopColCor", "avgColPCor", "maxColPCor", "avgTopColPCor",
+    "maxTopColPCor",
+]
+
+
+def _feature_sql(p: str, src: str, excl: str, top_t: int, n_sel: int) -> str:
+    """CTE chain recomputing one layer of expansion.concept_graph:
+    sources ``{src}(qid, term, weight)`` -> ``{p}sel(qid, cand, weight,
+    rank)`` — BM25 feedback docs, candidate edges (minus ``{excl}(qid,
+    term)``), the 14-feature block, per-query sum-normalization, uniform
+    weighted combine, top-``n_sel`` on round(weight, RANK_ROUND)."""
+    norm_sum = "\n       + ".join(
+        f"(CASE WHEN sum({f}) OVER (PARTITION BY qid) > 0 "
+        f"THEN {f} / sum({f}) OVER (PARTITION BY qid) ELSE 0.0 END)"
+        for f in _FEATURES_SQL_ORDER
+    )
+    t = float(top_t)
+    return f"""
+{p}scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM {src} q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+{p}topdocs AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rn
+    FROM {p}scored) WHERE rn <= {top_t}),
+{p}srct AS (SELECT DISTINCT qid, term AS orig FROM {src}),
+{p}cands AS (
+  SELECT DISTINCT s.qid, s.orig, e.cand, e.df_both
+  FROM {p}srct s JOIN edges e ON e.orig = s.orig
+  WHERE NOT EXISTS (SELECT 1 FROM {excl} x
+                    WHERE x.qid = s.qid AND x.term = e.cand)),
+{p}candq AS (SELECT DISTINCT qid, cand FROM {p}cands),
+{p}cit AS (
+  SELECT c.qid, c.cand, t.doc_id, t.tf, td.score
+  FROM {p}candq c
+  JOIN tf t ON t.term = c.cand
+  JOIN {p}topdocs td ON td.qid = c.qid AND td.doc_id = t.doc_id),
+{p}topdl AS (
+  SELECT td.qid, sum(dl.dl)::DOUBLE AS top_dl_sum
+  FROM {p}topdocs td JOIN dl USING (doc_id) GROUP BY td.qid),
+{p}fb AS (
+  SELECT qid, cand, sum(score) AS expTDocScore, sum(tf)::DOUBLE AS tf_top,
+         count(*)::DOUBLE AS numCanDocs, avg(score) AS avgCDocScore,
+         max(score) AS maxCDocScore
+  FROM {p}cit GROUP BY qid, cand),
+{p}oit AS (
+  SELECT s.qid, s.orig, t.doc_id
+  FROM {p}srct s
+  JOIN tf t ON t.term = s.orig
+  JOIN {p}topdocs td ON td.qid = s.qid AND td.doc_id = t.doc_id),
+{p}bothtop AS (
+  SELECT c.qid, o.orig, c.cand, count(*)::BIGINT AS df_both_top
+  FROM {p}cit c JOIN {p}oit o ON o.qid = c.qid AND o.doc_id = c.doc_id
+  GROUP BY 1, 2, 3),
+{p}pairf AS (
+  SELECT c.qid, c.orig, c.cand,
+         c.df_both::DOUBLE / sqrt(vo.df::DOUBLE * vc.df) AS colCor,
+         coalesce(bt.df_both_top, 0)::DOUBLE / {t} AS topColCor,
+         abs(ln((s.n_docs * c.df_both + 0.5)
+                / (vo.df::DOUBLE * vc.df + 0.5))) AS colPCor,
+         abs(ln(({t} * coalesce(bt.df_both_top, 0) + 0.5)
+                / (c.df_both + 0.5))) AS topColPCor
+  FROM {p}cands c
+  JOIN vocab vo ON vo.term = c.orig
+  JOIN vocab vc ON vc.term = c.cand
+  LEFT JOIN {p}bothtop bt
+    ON bt.qid = c.qid AND bt.orig = c.orig AND bt.cand = c.cand
+  CROSS JOIN stats s),
+{p}cooc AS (
+  SELECT qid, cand,
+         avg(colCor) AS avgColCor, max(colCor) AS maxColCor,
+         avg(topColCor) AS avgTopColCor, max(topColCor) AS maxTopColCor,
+         avg(colPCor) AS avgColPCor, max(colPCor) AS maxColPCor,
+         avg(topColPCor) AS avgTopColPCor, max(topColPCor) AS maxTopColPCor
+  FROM {p}pairf GROUP BY qid, cand),
+{p}feat AS (
+  SELECT c.qid, c.cand,
+         abs(coalesce(fb.expTDocScore, 0.0)) AS expTDocScore,
+         abs(coalesce(fb.tf_top / td.top_dl_sum, 0.0)) AS topTermFrac,
+         abs(coalesce(fb.numCanDocs, 0.0)) AS numCanDocs,
+         abs(coalesce(fb.avgCDocScore, 0.0)) AS avgCDocScore,
+         abs(coalesce(fb.maxCDocScore, 0.0)) AS maxCDocScore,
+         abs(ln(s.n_docs / v.df)) AS conIdf,
+         abs(coalesce(cc.avgColCor, 0.0)) AS avgColCor,
+         abs(coalesce(cc.maxColCor, 0.0)) AS maxColCor,
+         abs(coalesce(cc.avgTopColCor, 0.0)) AS avgTopColCor,
+         abs(coalesce(cc.maxTopColCor, 0.0)) AS maxTopColCor,
+         abs(coalesce(cc.avgColPCor, 0.0)) AS avgColPCor,
+         abs(coalesce(cc.maxColPCor, 0.0)) AS maxColPCor,
+         abs(coalesce(cc.avgTopColPCor, 0.0)) AS avgTopColPCor,
+         abs(coalesce(cc.maxTopColPCor, 0.0)) AS maxTopColPCor
+  FROM {p}candq c
+  JOIN vocab v ON v.term = c.cand
+  CROSS JOIN stats s
+  LEFT JOIN {p}fb fb ON fb.qid = c.qid AND fb.cand = c.cand
+  LEFT JOIN {p}topdl td ON td.qid = c.qid
+  LEFT JOIN {p}cooc cc ON cc.qid = c.qid AND cc.cand = c.cand),
+{p}wsel AS (
+  SELECT qid, cand,
+         {norm_sum} AS weight
+  FROM {p}feat),
+{p}sel AS (
+  SELECT qid, cand, weight, rn AS rank FROM (
+    SELECT qid, cand, weight,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(weight, {RANK_ROUND}) DESC, cand) AS rn
+    FROM {p}wsel) WHERE rn <= {n_sel})
+"""
+
 
 _QRELS = """
 nterms AS (SELECT qid, count(DISTINCT term) AS n_terms FROM qterms GROUP BY qid),
@@ -617,6 +742,70 @@ def q_cooccur_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("qid", "cand", "n_docs", "rank")
+    )
+
+
+FEAT_TOP_T = FB_DOCS       # feedback docs feeding the 14-feature block
+FEAT_EDGE_MIN = 5          # df_both threshold of the corpus-derived graph
+FEAT_N_TERMS = 5           # expansion terms kept per query (T1 head-N)
+SEQ_LAYER_TERMS = (5, 3)   # per-layer truncation (T3)
+SEQ_LAYER_WEIGHTS = (0.3, 0.05)  # reference layer weights (umls :525-544)
+
+
+def q_feature_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 14-feature block (weightRelConcept, optParams/wsdm12-improved-
+    NThrsh-coordAsc.ipynb:767-891) + A4 per-query sum-normalization
+    (:903-958) + A5 weighted combine + A6 cross-orig accumulation + T1
+    top-N selection (:1027-1043), with J1 candidate generation over the
+    corpus-derived co-occurrence graph and F5 orig-term exclusion. The
+    DuckDB oracle recomputes all 14 features value-for-value."""
+    from .expansion.concept_graph import (
+        concept_features,
+        normalize_and_combine,
+        select_expansion_terms,
+    )
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    edges = cooccur_edges(spark, sf_dir, min_df_both=FEAT_EDGE_MIN)
+    feats = concept_features(
+        idx, qt, edges, top_t=FEAT_TOP_T, rank_round=RANK_ROUND
+    )
+    weighted = normalize_and_combine(feats)
+    sel = select_expansion_terms(
+        weighted, n_terms=FEAT_N_TERMS, rank_round=RANK_ROUND
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("weight", RANK_ROUND)), F.asc("cand")
+    )
+    return sel.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "qid", "cand", F.round("weight", SCORE_ROUND).alias("weight"), "rank"
+    )
+
+
+def q_sequential_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 1 end-to-end: R5 sequential layered expansion
+    (2 layers, dist=1,2 — optParams/...coordAsc.ipynb cells 25-30) with
+    T3 per-layer truncation, then the R2 final run
+    `#weight(0.7 orig 0.3 layer1 0.05 layer2)` scored with BM25 (T2).
+    The DuckDB oracle replays both layers' feature blocks and the final
+    weighted retrieval."""
+    from .expansion.concept_graph import expanded_topk
+
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    edges = cooccur_edges(spark, sf_dir, min_df_both=FEAT_EDGE_MIN)
+    out = expanded_topk(
+        idx, qt, edges, k=TOPK, orig_weight=ORIG_W,
+        layers=2, per_layer_terms=SEQ_LAYER_TERMS,
+        layer_weights=SEQ_LAYER_WEIGHTS, top_t=FEAT_TOP_T,
+        rank_round=RANK_ROUND,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
     )
 
 
@@ -1532,6 +1721,87 @@ ranked AS (
 SELECT qid, cand, n_docs, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
 """
 
+    # Corpus-derived co-occurrence graph shared by the feature-expansion
+    # entries (mirrors webtext.cooccur_edges; the SQL side needs no
+    # frontier restriction — candidate generation inner-joins on src, so
+    # unused src rows cannot change the result).
+    edges_cte = f"""
+edges AS (
+  SELECT a.term AS orig, b.term AS cand, count(*)::BIGINT AS df_both
+  FROM tf a JOIN tf b USING (doc_id)
+  WHERE a.term <> b.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {FEAT_EDGE_MIN})
+"""
+
+    sql["feature_expand"] = f"""
+WITH {_BASE},
+{qterms},
+{edges_cte.strip()},
+{_feature_sql('f1', 'qterms', 'qterms', FEAT_TOP_T, FEAT_N_TERMS).strip()}
+SELECT qid, cand, round(weight, {SCORE_ROUND}) AS weight, rank::BIGINT AS rank
+FROM f1sel
+"""
+
+    # Two-layer sequential expansion + final #weight(0.7 orig ...) run.
+    # Layer 2's sources are layer 1's selected terms (weight 1.0);
+    # layer-2 candidates exclude layer-1 selections at generation time
+    # (candidate_edges' src exclusion) and the ORIGINAL query terms
+    # post-selection (sequential_expand's anti-join vs `out`).
+    lw1, lw2 = SEQ_LAYER_WEIGHTS
+    n1, n2 = SEQ_LAYER_TERMS
+    sql["sequential_expand_topk"] = f"""
+WITH {_BASE},
+{qterms},
+{edges_cte.strip()},
+{_feature_sql('f1', 'qterms', 'qterms', FEAT_TOP_T, n1).strip()},
+l2src AS (SELECT qid, cand AS term, 1.0 AS weight FROM f1sel),
+l2excl AS (SELECT qid, cand AS term FROM f1sel),
+{_feature_sql('f2', 'l2src', 'l2excl', FEAT_TOP_T, n2).strip()},
+l2sel AS (
+  SELECT s.* FROM f2sel s
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.qid = s.qid AND q.term = s.cand)),
+orign AS (
+  SELECT qid, term,
+         {ORIG_W} * weight / sum(weight) OVER (PARTITION BY qid) AS weight
+  FROM qterms),
+expall AS (
+  SELECT qid, cand AS term, {lw1} * weight AS weight FROM f1sel
+  UNION ALL
+  SELECT qid, cand AS term, {lw2} * weight AS weight FROM l2sel),
+expn AS (
+  SELECT qid, term,
+         CASE WHEN sum(weight) OVER (PARTITION BY qid) > 0
+              THEN {1.0 - ORIG_W} * weight
+                   / sum(weight) OVER (PARTITION BY qid)
+              ELSE 0.0 END AS weight
+  FROM expall),
+mixed AS (
+  SELECT qid, term, sum(weight) AS weight
+  FROM (SELECT * FROM orign UNION ALL SELECT * FROM expn)
+  GROUP BY qid, term),
+fin AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM mixed q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+fintop AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM fin)
+SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
+FROM fintop WHERE rank <= {TOPK}
+"""
+
     sql["working_set_rescore"] = f"""
 WITH {_BASE},
 {_qterms_cte()},
@@ -1893,6 +2163,8 @@ SPARK_QUERIES = {
     "eval_metrics": q_eval_metrics,
     "inferred_eval": q_inferred_eval,
     "cooccur_expand": q_cooccur_expand,
+    "feature_expand": q_feature_expand,
+    "sequential_expand_topk": q_sequential_expand_topk,
     "assoc_expand": q_assoc_expand,
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,

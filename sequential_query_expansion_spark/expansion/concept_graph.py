@@ -112,11 +112,16 @@ def concept_features(
     graph_edges: DataFrame,
     top_t: int = 10,
     count_lim: int = 0,
+    rank_round: int | None = None,
 ) -> DataFrame:
-    """-> (qid, cand, <14 feature columns>) per weightRelConcept."""
+    """-> (qid, cand, <14 feature columns>) per weightRelConcept.
+
+    ``rank_round`` selects the top-T feedback docs on round(score, d)
+    (the cross-engine float policy) instead of the exact score.
+    """
     n_docs = float(index.n_docs)
 
-    topdocs = score_topk(index, query_terms, k=top_t).select(
+    topdocs = score_topk(index, query_terms, k=top_t, rank_round=rank_round).select(
         "qid", "doc_id", "score"
     )
 
@@ -247,13 +252,19 @@ def normalize_and_combine(
 
 
 def select_expansion_terms(
-    weighted: DataFrame, n_terms: int = 20, threshold: float | None = None
+    weighted: DataFrame, n_terms: int = 20, threshold: float | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """T1: rank desc (weight, cand asc tie-break) and keep top-N, or the
-    probability-threshold variant (wsdm12-improved-probThrsh)."""
+    probability-threshold variant (wsdm12-improved-probThrsh).
+    ``rank_round`` ranks on round(weight, d) for cross-engine stability."""
     if threshold is not None:
         return weighted.filter(F.col("weight") >= threshold)
-    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("cand"))
+    key = (
+        F.round("weight", rank_round) if rank_round is not None
+        else F.col("weight")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(key), F.asc("cand"))
     return (
         weighted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_terms)
@@ -271,11 +282,14 @@ def sequential_expand(
     top_t: int = 10,
     count_lim: int = 0,
     feature_weights: Dict[str, float] | None = None,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """R5 layered expansion: layer ℓ candidates come from layer ℓ-1's
     selected terms (dist grows per layer). Returns
     (qid, term, weight, layer) with layer 0 = original query terms
     (weight = multiplicity), layers ≥ 1 scaled by ``layer_weights``.
+    ``rank_round`` makes every discrete selection (feedback docs,
+    per-layer term pick) rank on rounded keys — the cross-engine policy.
     """
     out = query_terms.select(
         "qid", "term", F.col("weight").cast("double").alias("weight"),
@@ -284,14 +298,28 @@ def sequential_expand(
     sources = query_terms.select("qid", "term", "weight")
     for ell in range(1, layers + 1):
         feats = concept_features(
-            index, sources, graph_edges, top_t=top_t, count_lim=count_lim
+            index, sources, graph_edges, top_t=top_t, count_lim=count_lim,
+            rank_round=rank_round,
         )
         weighted = normalize_and_combine(feats, feature_weights)
-        sel = select_expansion_terms(weighted, n_terms=per_layer_terms[ell - 1])
+        sel = select_expansion_terms(
+            weighted, n_terms=per_layer_terms[ell - 1], rank_round=rank_round
+        )
         # exclude anything already selected in ANY earlier layer
         sel = sel.join(
             out.select("qid", F.col("term").alias("cand")), ["qid", "cand"],
             "left_anti",
+        )
+        # Materialize the layer's selection before it feeds BOTH the
+        # next layer's sources and the final union: without this, layer
+        # ℓ+1's (lazy) plan re-derives the whole layer-ℓ feature
+        # pipeline once per reference — an iterative-lineage blowup that
+        # turns 2 layers into an hours-long analysis/execution. The
+        # selection is tiny (≤ queries × per_layer_terms rows), so a
+        # driver-side rebuild is the cheapest hard lineage cut.
+        sel = sel.sparkSession.createDataFrame(
+            sel.select("qid", "cand", "weight").collect(),
+            "qid string, cand string, weight double",
         )
         lw = float(layer_weights[ell - 1])
         out = out.unionByName(
@@ -314,11 +342,14 @@ def expanded_topk(
     graph_edges: DataFrame,
     k: int = 1000,
     orig_weight: float = 0.7,
+    rank_round: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """R2 `#weight(w orig (1-w) expansion)` final run over the layered
     expansion (the reference's genQueries + precisionCompute stage)."""
-    exp = sequential_expand(index, query_terms, graph_edges, **kwargs)
+    exp = sequential_expand(
+        index, query_terms, graph_edges, rank_round=rank_round, **kwargs
+    )
     w_tot = Window.partitionBy("qid")
     orig = exp.filter(F.col("layer") == 0)
     rest = exp.filter(F.col("layer") > 0)
@@ -341,4 +372,4 @@ def expanded_topk(
         .groupBy("qid", "term")
         .agg(F.sum("weight").alias("weight"))
     )
-    return score_topk(index, mixed, k=k)
+    return score_topk(index, mixed, k=k, rank_round=rank_round)

@@ -127,6 +127,54 @@ def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+def cooccur_edges(
+    spark: SparkSession, sf_dir: str, min_df_both: int = 5
+) -> DataFrame:
+    """Corpus-derived concept graph for the feature-expansion contract
+    entries: edge (src, dst) iff >= ``min_df_both`` docs contain both
+    terms. Plays the role of the reference's external graph dim table
+    (UMLS MRREL / ConceptNet adjacency) deterministically, so the DuckDB
+    oracle can recompute it.
+
+    src is restricted to the 2-hop frontier of the frozen query set
+    (query terms + their co-occurrence neighbours): an unrestricted
+    co-occurrence graph is quadratic in vocabulary at web scale, and the
+    layered expansion only ever looks up edges whose src is a query term
+    (layer 1) or a layer-1 candidate (layer 2). The doc_id-keyed pair
+    join shuffles only the seed-restricted postings.
+    """
+    key = (sf_dir, "edges", min_df_both, id(spark))
+    if key not in _INDEX_CACHE:
+        idx = doc_index(spark, sf_dir)
+        pf = idx.postings_flat.select("term", "doc_id")
+
+        def pairs(src_terms: DataFrame) -> DataFrame:
+            a = pf.join(F.broadcast(src_terms), "term").select(
+                F.col("term").alias("src"), "doc_id"
+            )
+            return (
+                a.join(pf.withColumnRenamed("term", "dst"), "doc_id")
+                .filter(F.col("src") != F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.count("*").alias("df_both"))
+                .filter(F.col("df_both") >= min_df_both)
+                .select("src", "dst")
+            )
+
+        seeds = spark.createDataFrame(
+            [(t,) for t in sorted({t for _, t, _ in query_term_rows()})],
+            "term string",
+        )
+        e1 = pairs(seeds).persist()
+        frontier = e1.select(F.col("dst").alias("term")).distinct()
+        _INDEX_CACHE[key] = (
+            e1.unionByName(pairs(frontier))
+            .dropDuplicates(["src", "dst"])
+            .persist()
+        )
+    return _INDEX_CACHE[key]
+
+
 def pseudo_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relevance labels: a doc is relevant (rel=1) to qid iff
     its token set contains EVERY query term; rel=2 if additionally each
