@@ -809,6 +809,229 @@ def q_sequential_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic source fixtures (UMLS RRF / ConceptNet CSV / TREC SGML).
+# The FIXTURE rows are shared between the Spark side (written to disk and
+# read through the real source readers) and the oracle (inlined as SQL
+# VALUES); the TRANSFORMS — gates, normalization, joins — are recomputed
+# independently by each engine.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_PATHS: dict = {}
+
+
+def _umls_fixture() -> tuple:
+    """UMLS-style RRF rows derived from the frozen query vocabulary.
+
+    Per query term t (cui Qi): one valid preferred MRCONSO row, one
+    related concept CAi ("t disorder", good STY T184; every third gets
+    bracket noise exercising X2), one CBi ("t chaos", bad STY — F2 must
+    drop it), plus one gate-violating MRCONSO row per F1 gate
+    (lat/ts/stt/ispref) and a digit-bearing name (X3 alpha gate) — each
+    with a DISTINCT name, so any leaked row surfaces as extra output.
+    MRREL: t->CAi (doubled for even i: A1 multiplicity), t->CBi, a
+    self-loop (dropped), and t->t' chains between consecutive vocabulary
+    terms (F5: excluded only for queries containing both).
+    """
+    terms = sorted({t for _, t, _ in query_term_rows()})
+    cui = {t: f"C{i:07d}" for i, t in enumerate(terms)}
+    mrconso, mrrel, mrsty = [], [], []
+
+    def conso(c, lat, ts, stt, ispref, s):
+        row = [""] * 18
+        row[0], row[1], row[2], row[4], row[6], row[14] = (
+            c, lat, ts, stt, ispref, s,
+        )
+        mrconso.append(row)
+
+    def rel(src, r, dst):
+        row = [""] * 16
+        row[0], row[3], row[4] = src, r, dst
+        mrrel.append(row)
+
+    for i, t in enumerate(terms):
+        conso(cui[t], "ENG", "P", "PF", "Y", t)
+        mrsty.append([cui[t], "T047"])
+        ca, cb = f"CA{i:06d}", f"CB{i:06d}"
+        name_a = f"{t} (finding) disorder" if i % 3 == 0 else f"{t} disorder"
+        conso(ca, "ENG", "P", "PF", "Y", name_a)
+        conso(cb, "ENG", "P", "PF", "Y", f"{t} chaos")
+        mrsty.append([ca, "T184"])
+        mrsty.append([ca, "T999"])     # extra STY: semi-join must not dup
+        mrsty.append([cb, "T999"])     # bad STY only -> F2 drops edges to cb
+        # F1 gate violations + X3 alpha gate, each with a unique name
+        conso(ca, "FRE", "P", "PF", "Y", f"{t} trouble")
+        conso(ca, "ENG", "S", "PF", "Y", f"{t} syndrome")
+        conso(ca, "ENG", "P", "VCW", "Y", f"{t} illness")
+        conso(ca, "ENG", "P", "PF", "N", f"{t} malady")
+        conso(ca, "ENG", "P", "PF", "Y", f"{t} disorder 2")
+        rel(cui[t], "RO", ca)
+        if i % 2 == 0:
+            rel(cui[t], "RO", ca)      # duplicate edge -> weight 2
+        rel(cui[t], "RB", cb)
+        rel(cui[t], "SY", cui[t])      # self-loop -> dropped
+        if i + 1 < len(terms):
+            rel(cui[t], "RO", cui[terms[i + 1]])
+    return mrconso, mrrel, mrsty
+
+
+def _umls_fixture_dir() -> str:
+    if "umls" not in _FIXTURE_PATHS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sqe_umls_")
+        mrconso, mrrel, mrsty = _umls_fixture()
+        for name, rows in (
+            ("MRCONSO.RRF", mrconso),
+            ("MRREL.RRF", mrrel),
+            ("MRSTY.RRF", [r + [""] * 4 for r in mrsty]),
+        ):
+            with open(os.path.join(d, name), "w") as f:
+                f.write("\n".join("|".join(r) for r in rows) + "\n")
+        _FIXTURE_PATHS["umls"] = d
+    return _FIXTURE_PATHS["umls"]
+
+
+def _conceptnet_rows() -> list:
+    """(rel, start, end) triples: valid edges between query-vocabulary
+    terms plus one non-printable row (F3 must drop it and its inverse)."""
+    terms = sorted({t for _, t, _ in query_term_rows()})
+    rows = []
+    for i, t in enumerate(terms):
+        rows.append(("RelatedTo", t, f"{t}ness"))
+        if i + 1 < len(terms):
+            rows.append(("IsA", t, terms[i + 1]))
+    rows.append(("RelatedTo", "café", "coffee"))  # non-printable src
+    rows.append(("RelatedTo", "tea", "café"))     # non-printable dst
+    return rows
+
+
+def _conceptnet_path() -> str:
+    if "conceptnet" not in _FIXTURE_PATHS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sqe_cnet_")
+        p = os.path.join(d, "edges.csv")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("\n".join(",".join(r) for r in _conceptnet_rows()) + "\n")
+        _FIXTURE_PATHS["conceptnet"] = p
+    return _FIXTURE_PATHS["conceptnet"]
+
+
+def _sgml_qid_map() -> dict:
+    return {qid: str(351 + i) for i, qid in enumerate(sorted(WEB_QUERIES))}
+
+
+def _trec_topics_sgml_path() -> str:
+    if "topics" not in _FIXTURE_PATHS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sqe_topics_")
+        m = _sgml_qid_map()
+        lines = []
+        for qid in sorted(WEB_QUERIES):
+            lines += [
+                "<top>",
+                "",
+                f"<num> Number: {m[qid]}",
+                f"<title> {WEB_QUERIES[qid]}",
+                "",
+                "<desc> Description:",
+                "free text the parser must ignore",
+                "</top>",
+            ]
+        p = os.path.join(d, "topics.sgml")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        _FIXTURE_PATHS["topics"] = p
+    return _FIXTURE_PATHS["topics"]
+
+
+def q_umls_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 RRF scan with the F1 ENG/P/PF/Y gates + X2 bracket-strip + X3
+    alpha gate (readRrfFile, umls/umlsSeqPubMed.ipynb:70-128), S4/F2 STY
+    whitelist, J1 1-hop MRREL expansion with A1 edge multiplicity, J2
+    cui->name join, F4 candidate validity (name AND good STY), F5
+    orig-term exclusion — over the deterministic RRF fixture, with the
+    oracle recomputing every gate from the same raw rows."""
+    from .sources.graph import (
+        GOOD_TUIS,
+        read_mrconso,
+        read_mrrel,
+        read_mrsty,
+        sty_whitelist_filter,
+    )
+
+    d = _umls_fixture_dir()
+    names = read_mrconso(spark, f"{d}/MRCONSO.RRF")
+    sty = read_mrsty(spark, f"{d}/MRSTY.RRF")
+    edges = sty_whitelist_filter(
+        read_mrrel(spark, f"{d}/MRREL.RRF"), sty, GOOD_TUIS
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in query_term_rows()], "qid string, term string"
+    ).distinct()
+    qcui = qt.join(names.withColumnRenamed("name", "term"), "term")
+    cand = (
+        qcui.select("qid", F.col("cui").alias("src"))
+        .join(edges, "src")
+        .join(
+            names.select(
+                F.col("cui").alias("dst"), F.col("name").alias("cand_name")
+            ),
+            "dst",
+        )
+        .join(
+            qt.select("qid", F.col("term").alias("cand_name")),
+            ["qid", "cand_name"],
+            "left_anti",
+        )
+        .groupBy("qid", F.col("dst").alias("cui"), "cand_name")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("cui"))
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "qid", "cui", "cand_name", "weight", "rank"
+    )
+
+
+def q_conceptnet_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ConceptNet CSV scan with the F3 printable-ASCII gate and the
+    two-way adjacency insert (optParams/...coordAsc.ipynb:277-295)."""
+    from .sources.graph import read_conceptnet_csv
+
+    return read_conceptnet_csv(spark, _conceptnet_path(), with_inverse=True)
+
+
+def q_trec_run_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 SGML topics parse -> tokenized query table -> BM25 top-k ->
+    S11 6-col TREC run sink -> read back: the sink must be lossless at
+    6 dp (format_string, NOT format_number whose locale separators
+    corrupt scores >= 1000) and the SGML parse must reproduce the frozen
+    query set, or the parsed run diverges from the oracle's retrieval."""
+    import tempfile
+
+    from .sources.trec import (
+        read_trec_run,
+        read_trec_topics_sgml,
+        write_trec_run,
+    )
+
+    idx = doc_index(spark, sf_dir)
+    topics = read_trec_topics_sgml(spark, _trec_topics_sgml_path())
+    qt = query_term_table(topics)
+    run = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND)
+    out_dir = tempfile.mkdtemp(prefix="sqe_run_") + "/run"
+    write_trec_run(run, out_dir)
+    back = read_trec_run(spark, out_dir)
+    return back.select(
+        "qid", "docno", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
 WORKING_SET_MAX_DOC = 50
 OD_PAIRS = [("hash", "join"), ("group", "agg"), ("sort", "order")]
 OD_WINDOW = 4
@@ -1802,6 +2025,101 @@ SELECT qid, doc_id, rank::BIGINT AS rank, round(score, {SCORE_ROUND}) AS score
 FROM fintop WHERE rank <= {TOPK}
 """
 
+    # --- source fixtures: raw rows shared, transforms recomputed -----
+    from .sources.graph import GOOD_TUIS
+
+    mrconso, mrrel_rows, mrsty_rows = _umls_fixture()
+    conso_vals = ",\n    ".join(
+        f"('{r[0]}', '{r[1]}', '{r[2]}', '{r[4]}', '{r[6]}', '{r[14]}')"
+        for r in mrconso
+    )
+    rel_vals = ",\n    ".join(
+        f"('{r[0]}', '{r[3]}', '{r[4]}')" for r in mrrel_rows
+    )
+    sty_vals = ",\n    ".join(f"('{r[0]}', '{r[1]}')" for r in mrsty_rows)
+    good_list = "', '".join(GOOD_TUIS)
+    sql["umls_concept_expand"] = f"""
+WITH {qterms},
+mrconso(cui, lat, ts, stt, ispref, str) AS (VALUES
+    {conso_vals}),
+mrrel(src, rel, dst) AS (VALUES
+    {rel_vals}),
+mrsty(cui, tui) AS (VALUES
+    {sty_vals}),
+names AS (
+  SELECT cui,
+         lower(trim(regexp_replace(str, '[\\(\\[].*?[\\)\\]]', '', 'g'))) AS name
+  FROM mrconso
+  WHERE lat = 'ENG' AND ts = 'P' AND stt = 'PF' AND ispref = 'Y'),
+namesf AS (SELECT * FROM names WHERE regexp_matches(name, '^[a-z ]+$')),
+gredges AS (
+  SELECT rel, src, dst, count(*)::BIGINT AS weight
+  FROM mrrel WHERE src <> dst GROUP BY 1, 2, 3),
+goodcui AS (SELECT DISTINCT cui FROM mrsty WHERE tui IN ('{good_list}')),
+gedges AS (SELECT e.* FROM gredges e JOIN goodcui g ON g.cui = e.dst),
+qtd AS (SELECT DISTINCT qid, term FROM qterms),
+qcui AS (SELECT q.qid, n.cui FROM qtd q JOIN namesf n ON n.name = q.term),
+cand AS (
+  SELECT qc.qid, e.dst AS cui, n2.name AS cand_name,
+         sum(e.weight)::BIGINT AS weight
+  FROM qcui qc
+  JOIN gedges e ON e.src = qc.cui
+  JOIN namesf n2 ON n2.cui = e.dst
+  WHERE NOT EXISTS (SELECT 1 FROM qtd q2
+                    WHERE q2.qid = qc.qid AND q2.term = n2.name)
+  GROUP BY 1, 2, 3)
+SELECT qid, cui, cand_name, weight, rank::BIGINT AS rank FROM (
+  SELECT qid, cui, cand_name, weight,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY weight DESC, cui) AS rank
+  FROM cand)
+"""
+
+    cnet_vals = ",\n    ".join(
+        f"('{r[0]}', '{r[1]}', '{r[2]}')" for r in _conceptnet_rows()
+    )
+    sql["conceptnet_edges"] = f"""
+WITH rawcn(rel, src, dst) AS (VALUES
+    {cnet_vals}),
+filt AS (
+  SELECT * FROM rawcn
+  WHERE regexp_matches(src, '^[\\x20-\\x7e]+$')
+    AND regexp_matches(dst, '^[\\x20-\\x7e]+$'))
+SELECT rel, src, dst FROM filt
+UNION
+SELECT rel, dst AS src, src AS dst FROM filt
+"""
+
+    qm = _sgml_qid_map()
+    tq_vals = ",\n    ".join(
+        f"('{qm[q]}', '{t}', {w})" for q, t, w in query_term_rows()
+    )
+    sql["trec_run_roundtrip"] = f"""
+WITH {_BASE},
+tq(qid, term, weight) AS (VALUES
+    {tq_vals}),
+scored2 AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tq q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+topk2 AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scored2)
+SELECT qid, doc_id::VARCHAR AS docno, rank::BIGINT AS rank,
+       round(score, 6) AS score
+FROM topk2 WHERE rank <= {TOPK}
+"""
+
     sql["working_set_rescore"] = f"""
 WITH {_BASE},
 {_qterms_cte()},
@@ -2165,6 +2483,9 @@ SPARK_QUERIES = {
     "cooccur_expand": q_cooccur_expand,
     "feature_expand": q_feature_expand,
     "sequential_expand_topk": q_sequential_expand_topk,
+    "umls_concept_expand": q_umls_concept_expand,
+    "conceptnet_edges": q_conceptnet_edges,
+    "trec_run_roundtrip": q_trec_run_roundtrip,
     "assoc_expand": q_assoc_expand,
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,
