@@ -205,6 +205,10 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("bm25_topk_batch", dc.q_bm25_topk)
     bench("lm_topk_batch", dc.q_lm_topk)
     bench("rm3_topk_batch", dc.q_bm25_rm3_topk)
+    # entry point 1 end-to-end: graph candidates -> 14-feature scoring
+    # -> 2-layer sequential selection -> #weight final run (includes the
+    # one-time co-occurrence edge derivation)
+    bench("sequential_expand", dc.q_sequential_expand_topk)
     bench("phrase_topk_batch", dc.q_phrase_weighted_topk)
     bench("minhash_dedup", dc.q_minhash_dedup)
     bench("simhash_pairs", dc.q_simhash_pairs)

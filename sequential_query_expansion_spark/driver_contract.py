@@ -675,6 +675,36 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric", "qid", F.round("value", 6).alias("value"))
 
 
+GRID_K1B = [(0.9, 0.4), (1.2, 0.75), (1.6, 0.3), (2.0, 0.75)]
+
+
+def q_grid_search_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 parameter-sweep argmax (the reference trains by sweeping
+    settings and keeping the max-MAP one, optParams/wsdm12-improved-
+    NThrsh-coordAsc.ipynb:1356-1399, argmax :1382): MAP over the
+    pseudo-qrels at each (k1, b) grid point, ranked best-first (MAP
+    desc, k1 asc). The sweep loop stays in the driver (SURVEY §7 hard
+    part iv); the oracle replays every grid point's retrieval + AP."""
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    qrels = pseudo_qrels(spark, sf_dir).persist()
+    rows = []
+    for k1, b in GRID_K1B:
+        run = score_topk(
+            idx, qt, k=TOPK, k1=k1, b=b, rank_round=RANK_ROUND
+        ).select("qid", "doc_id", "rank", "score")
+        m = evaluate(run, qrels, p_at=[10], ndcg_at=[10])
+        map_all = m.filter(
+            (F.col("metric") == "map") & (F.col("qid") == "all")
+        ).collect()[0]["value"]
+        rows.append((float(k1), float(b), round(float(map_all), 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(
+        [(k1, b, m, i + 1) for i, (k1, b, m) in enumerate(rows)],
+        "k1 double, b double, map double, rank long",
+    )
+
+
 ASSOC_MIN_DF_BOTH = 2
 ASSOC_N_TERMS = 10
 
@@ -1004,6 +1034,42 @@ def q_conceptnet_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.graph import read_conceptnet_csv
 
     return read_conceptnet_csv(spark, _conceptnet_path(), with_inverse=True)
+
+
+_INFLECT_SUFFIXES = ["", "s", "es", "ies", "ing", "ed"]
+
+
+def q_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 rule stemmer (functions/text.stem_py, replacing the
+    reference's per-term Indri stem probes, occuranceCount.cpp:425-426)
+    run through the real Arrow-batched ``stem_tokens`` UDF. The corpus
+    vocabulary contains no stemmable surface forms, so BOTH engines
+    derive inflected variants from it (term+s/es/ies/ing/ed and the
+    doubled-final-letter forms) — every rule branch is exercised, and
+    the oracle recomputes the cascade as SQL string functions."""
+    from .functions.text import stem_tokens
+
+    idx = doc_index(spark, sf_dir)
+    base = idx.vocab.select("term")
+    variants = [
+        base.select(F.concat(F.col("term"), F.lit(sfx)).alias("token"))
+        for sfx in _INFLECT_SUFFIXES
+    ] + [
+        base.select(
+            F.concat(
+                F.col("term"), F.substring(F.col("term"), -1, 1), F.lit(sfx)
+            ).alias("token")
+        )
+        for sfx in ("ing", "ed")
+    ]
+    toks = variants[0]
+    for v in variants[1:]:
+        toks = toks.unionByName(v)
+    return (
+        toks.distinct()
+        .withColumn("stem", stem_tokens(F.array("token")).getItem(0))
+        .select("token", "stem")
+    )
 
 
 def q_trec_run_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,6 +2156,99 @@ UNION
 SELECT rel, dst AS src, src AS dst FROM filt
 """
 
+    inflect_union = "\n  UNION ALL ".join(
+        [f"SELECT term || '{s}' AS token FROM vocab" for s in _INFLECT_SUFFIXES]
+        + [
+            f"SELECT term || substr(term, length(term), 1) || '{s}' FROM vocab"
+            for s in ("ing", "ed")
+        ]
+    )
+    # the CASE cascade must mirror stem_py's RULE ORDER exactly
+    stem_case = """CASE
+  WHEN length(token) > 4 AND token LIKE '%ies'
+    THEN substr(token, 1, length(token) - 3) || 'y'
+  WHEN length(token) > 3 AND token LIKE '%es'
+       AND NOT (token LIKE '%ses' OR token LIKE '%zes' OR token LIKE '%oes')
+    THEN substr(token, 1, length(token) - 1)
+  WHEN length(token) > 3 AND token LIKE '%s'
+       AND NOT (token LIKE '%ss' OR token LIKE '%us' OR token LIKE '%is')
+    THEN substr(token, 1, length(token) - 1)
+  WHEN length(token) > 5 AND token LIKE '%ing'
+    THEN CASE WHEN length(token) - 3 > 2
+                   AND substr(token, length(token) - 3, 1)
+                       = substr(token, length(token) - 4, 1)
+              THEN substr(token, 1, length(token) - 4)
+              ELSE substr(token, 1, length(token) - 3) END
+  WHEN length(token) > 4 AND token LIKE '%ed'
+    THEN CASE WHEN length(token) - 2 > 2
+                   AND substr(token, length(token) - 2, 1)
+                       = substr(token, length(token) - 3, 1)
+              THEN substr(token, 1, length(token) - 3)
+              ELSE substr(token, 1, length(token) - 2) END
+  ELSE token END"""
+    sql["stemmed_tokens"] = f"""
+WITH {_BASE},
+inflected AS (
+  {inflect_union})
+SELECT DISTINCT token, {stem_case} AS stem FROM inflected
+"""
+
+    grid_blocks, grid_rows = [], []
+    for gi, (gk1, gb) in enumerate(GRID_K1B):
+        grid_blocks.append(f"""
+g{gi}s AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.weight
+             * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5))
+             * tf.tf * {gk1 + 1.0}
+             / (tf.tf + {gk1} * (1.0 - {gb} + {gb} * dl.dl / s.avgdl))) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN vocab v ON v.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+g{gi}r AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+    FROM g{gi}s) WHERE rank <= {TOPK}),
+g{gi}p AS (
+  SELECT r.qid, r.rank, coalesce(qr.rel, 0) AS rel,
+         sum(CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.qid ORDER BY r.rank) AS hits
+  FROM g{gi}r r
+  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+g{gi}a AS (
+  SELECT qid, sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec
+  FROM g{gi}p GROUP BY qid),
+g{gi}m AS (
+  SELECT avg(CASE WHEN coalesce(n.n_rel, 0) > 0
+                  THEN coalesce(a.sum_prec, 0) / n.n_rel
+                  ELSE 0.0 END) AS map
+  FROM (SELECT DISTINCT qid FROM g{gi}r) q
+  LEFT JOIN g{gi}a a USING (qid)
+  LEFT JOIN gnrel n USING (qid))""")
+        grid_rows.append(
+            f"SELECT {gk1} AS k1, {gb} AS b,"
+            f" (SELECT round(map, 6) FROM g{gi}m) AS map"
+        )
+    grid_union = "\n  UNION ALL ".join(grid_rows)
+    sql["grid_search_map"] = f"""
+WITH {_BASE},
+{qterms},
+{_QRELS.strip()},
+gnrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+{",".join(grid_blocks)},
+grid AS (
+  {grid_union})
+SELECT k1, b, map, rank::BIGINT AS rank FROM (
+  SELECT k1, b, map,
+         row_number() OVER (ORDER BY map DESC, k1) AS rank
+  FROM grid)
+"""
+
     qm = _sgml_qid_map()
     tq_vals = ",\n    ".join(
         f"('{qm[q]}', '{t}', {w})" for q, t, w in query_term_rows()
@@ -2486,6 +2645,8 @@ SPARK_QUERIES = {
     "umls_concept_expand": q_umls_concept_expand,
     "conceptnet_edges": q_conceptnet_edges,
     "trec_run_roundtrip": q_trec_run_roundtrip,
+    "stemmed_tokens": q_stemmed_tokens,
+    "grid_search_map": q_grid_search_map,
     "assoc_expand": q_assoc_expand,
     "working_set_rescore": q_working_set_rescore,
     "od_bigram_counts": q_od_bigram_counts,
