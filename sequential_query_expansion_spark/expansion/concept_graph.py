@@ -87,10 +87,13 @@ def candidate_edges(
 
 
 def _pair_cooccurrence(index: IndexTables, pairs: DataFrame) -> DataFrame:
-    """df_both for (orig, cand) term pairs: docs containing both.
-
-    pairs is tiny (queries × edges) → broadcast against the postings of
-    the orig terms; only candidate-term postings shuffle."""
+    """(orig, cand, doc_id) for (orig, cand) term pairs: one row per doc
+    containing both. ONE pass over the postings feeds both df_both
+    (global co-occurrence) and df_both_top (feedback-doc co-occurrence)
+    — at web scale the postings scans dominate, so the two downstream
+    counts must share this join. pairs is tiny (queries × edges) →
+    broadcast against the postings of the orig terms; only
+    candidate-term postings shuffle."""
     p = pairs.select("orig", "cand").distinct()
     po = index.postings_flat.select(
         F.col("term").alias("orig"), "doc_id"
@@ -98,12 +101,7 @@ def _pair_cooccurrence(index: IndexTables, pairs: DataFrame) -> DataFrame:
     pc = index.postings_flat.select(
         F.col("term").alias("cand"), "doc_id"
     ).join(F.broadcast(p.select("cand").distinct()), "cand")
-    return (
-        po.join(F.broadcast(p), "orig")
-        .join(pc, ["cand", "doc_id"])
-        .groupBy("orig", "cand")
-        .agg(F.count("*").alias("df_both"))
-    )
+    return po.join(F.broadcast(p), "orig").join(pc, ["cand", "doc_id"])
 
 
 def concept_features(
@@ -121,9 +119,12 @@ def concept_features(
     """
     n_docs = float(index.n_docs)
 
-    topdocs = score_topk(index, query_terms, k=top_t, rank_round=rank_round).select(
-        "qid", "doc_id", "score"
-    )
+    # persisted: the feedback-doc set feeds THREE consumers (candidate
+    # postings intersection, top-doc length sum, orig-term intersection)
+    # — without the persist each one re-runs the whole BM25 scoring join
+    topdocs = score_topk(
+        index, query_terms, k=top_t, rank_round=rank_round, with_url=False
+    ).select("qid", "doc_id", "score").persist()
 
     cands = candidate_edges(query_terms, graph_edges, count_lim).persist()
 
@@ -159,18 +160,18 @@ def concept_features(
     )
 
     # --- co-occurrence features over collection and top docs -----------
-    df_both = _pair_cooccurrence(index, cands)
-    # co-occurrence restricted to feedback docs
-    qt = query_terms.select("qid", F.col("term").alias("orig")).distinct()
-    orig_in_top = (
-        index.postings_flat.withColumnRenamed("term", "orig")
-        .join(F.broadcast(qt), ["orig"])
-        .join(F.broadcast(topdocs.select("qid", "doc_id")), ["qid", "doc_id"])
-        .select("qid", "orig", "doc_id")
+    # one postings pair-join shared by the global and the feedback-doc
+    # counts (persisted: two aggregations consume it)
+    pair_docs = _pair_cooccurrence(index, cands).persist()
+    df_both = pair_docs.groupBy("orig", "cand").agg(
+        F.count("*").alias("df_both")
     )
     both_top = (
-        cand_in_top.select("qid", "cand", "doc_id")
-        .join(orig_in_top, ["qid", "doc_id"])
+        pair_docs.join(
+            F.broadcast(cands.select("qid", "orig", "cand").distinct()),
+            ["orig", "cand"],
+        )
+        .join(F.broadcast(topdocs.select("qid", "doc_id")), ["qid", "doc_id"])
         .groupBy("qid", "orig", "cand")
         .agg(F.count("*").alias("df_both_top"))
     )

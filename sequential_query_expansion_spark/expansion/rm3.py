@@ -75,7 +75,8 @@ def rm3_expand_df(
         ).select("qid", "doc_id", "w_doc")
     else:
         top = score_topk(
-            index, query_terms, k=fb_docs, k1=k1, b=b, rank_round=rank_round
+            index, query_terms, k=fb_docs, k1=k1, b=b,
+            rank_round=rank_round, with_url=False,
         ).select("qid", "doc_id", "score")
         fb = top.withColumn(
             "w_doc", F.col("score") / F.sum("score").over(w_tot)

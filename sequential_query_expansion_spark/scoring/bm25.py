@@ -56,6 +56,7 @@ def score_topk(
     k1: float = K1,
     b: float = B,
     rank_round: int | None = None,
+    with_url: bool = True,
 ) -> DataFrame:
     """query_terms(qid, term, weight) -> (qid, doc_id, url, rank, score).
 
@@ -63,7 +64,8 @@ def score_topk(
     oracle (SURVEY §7 hard part iii). ``rank_round``: rank on
     round(score, d) instead of the raw score — used for cross-engine
     (DuckDB-oracle) comparisons where last-ulp float-sum differences must
-    not flip near-tied ranks.
+    not flip near-tied ranks. ``with_url=False`` skips the docmap join
+    for internal consumers (PRF feedback sets) that only need doc_ids.
     """
     qt = query_terms.join(F.broadcast(index.vocab.select("term", "df")), "term")
     scored = (
@@ -88,11 +90,13 @@ def score_topk(
         F.round("score", rank_round) if rank_round is not None else F.col("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc(sort_score), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .join(index.docmap, "doc_id")
-        .select("qid", "doc_id", "url", "rank", "score")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if not with_url:
+        return ranked.select("qid", "doc_id", "rank", "score")
+    return ranked.join(index.docmap, "doc_id").select(
+        "qid", "doc_id", "url", "rank", "score"
     )
 
 
