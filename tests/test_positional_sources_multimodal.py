@@ -176,41 +176,70 @@ def test_semantic_types_table(spark):
 
 
 # --------------------------------------------------------------- multimodal
+# The image/audio codecs are REAL (PNG/WAV, functions/media.py); pixel/
+# sample-exact codec tests live in tests/test_media.py — here we drive
+# the Spark operators end-to-end over synthesized real payloads.
 
 @pytest.fixture(scope="module")
-def payloads(spark):
-    docs = spark.createDataFrame(
-        [(i, f"document body {i}") for i in range(20)],
-        "doc_id long, text string",
+def doc_ids(spark):
+    return spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def images(doc_ids):
+    return mm.synthesize_image_table(doc_ids).persist()
+
+
+def test_image_features_real_pixels(images, doc_ids):
+    import numpy as np
+    from sequential_query_expansion_spark.functions import media
+    from sequential_query_expansion_spark.operators.multimodal import (
+        _image_feat, _synth_image,
     )
-    return mm.synthesize_payload_table(docs).persist()
 
-
-def test_image_features_shape_and_determinism(payloads):
-    a = mm.image_features(payloads).orderBy("doc_id").collect()
-    b = mm.image_features(payloads).orderBy("doc_id").collect()
+    a = mm.image_features(images).orderBy("doc_id").collect()
     assert len(a) == 20
     assert all(len(r["feat"]) == mm.IMAGE_FEAT_DIM for r in a)
-    assert [r["feat"] for r in a] == [r["feat"] for r in b]
-    assert all(64 <= r["width"] <= 2048 for r in a)
+    assert all(r["width"] == 32 and r["height"] == 24 for r in a)
+    # operator output == direct decode+feature of the same payload
+    want = _image_feat(media.png_decode(_synth_image(3)))
+    got = np.array(next(r["feat"] for r in a if r["doc_id"] == 3))
+    assert np.allclose(got, want, atol=1e-6)
 
 
-def test_image_resize_schema(payloads):
-    out = mm.image_resize(payloads, 32, 32).collect()
-    assert all(r["thumb_w"] == 32 and isinstance(r["thumb"], (bytes, bytearray))
-               for r in out)
+def test_image_resize_roundtrips_real_thumb(images):
+    from sequential_query_expansion_spark.functions import media
+
+    out = mm.image_resize(images, 8, 6).collect()
+    for r in out:
+        thumb = media.png_decode(bytes(r["thumb"]))
+        assert thumb.shape == (6, 8, 3)
 
 
-def test_audio_and_video(payloads):
-    au = mm.audio_features(payloads).collect()
-    assert all(len(r["mfcc"]) == 13 and r["duration_s"] > 0 for r in au)
-    vf = mm.video_frame_sample(payloads, every_s=0.5, max_frames=4)
-    pdf = vf.toPandas()
-    assert pdf.groupby("doc_id").frame_idx.max().max() <= 3
-    assert (pdf.ts_s == pdf.frame_idx * 0.5).all()
+def test_audio_duration_exact_and_mfcc_shape(doc_ids):
+    au = mm.audio_features(mm.synthesize_audio_table(doc_ids)).collect()
+    by_id = {r["doc_id"]: r for r in au}
+    assert all(len(r["mfcc"]) == 13 for r in au)
+    # synthesized duration is 0.5 + (doc_id % 8) * 0.25 s, decoded exactly
+    for i in (0, 3, 7):
+        assert abs(by_id[i]["duration_s"] - (0.5 + (i % 8) * 0.25)) < 1e-6
+
+
+def test_video_sampler_seeks_and_respects_fps(doc_ids):
+    vids = mm.synthesize_video_table(doc_ids)
+    pdf = mm.video_frame_sample(vids, every_s=0.5, max_frames=4).toPandas()
+    # synthesized videos have 3..6 frames at 4 fps; every_s=0.5 -> frame
+    # stride 2, so sampled idx ∈ {0, 2, 4}
+    assert set(pdf.frame_idx) <= {0, 2, 4}
+    assert (pdf.ts_s == pdf.frame_idx / 4.0).all()
     assert all(len(x) == 4 for x in pdf.frame_feat)
 
 
-def test_strict_mode_raises(payloads):
-    with pytest.raises(Exception):
-        mm.image_features(payloads, strict=True).collect()
+def test_image_features_rejects_non_png(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a png"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PNG|PythonException"):
+        mm.image_features(bad).collect()
