@@ -111,11 +111,16 @@ def concept_features(
     top_t: int = 10,
     count_lim: int = 0,
     rank_round: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """-> (qid, cand, <14 feature columns>) per weightRelConcept.
 
     ``rank_round`` selects the top-T feedback docs on round(score, d)
     (the cross-engine float policy) instead of the exact score.
+    ``caches``: if given, the DataFrames this pass persists are appended
+    so the caller can unpersist them once the output is materialized —
+    the layered loop would otherwise accumulate per-layer cached
+    partitions across iterations (executor memory at scale).
     """
     n_docs = float(index.n_docs)
 
@@ -127,6 +132,8 @@ def concept_features(
     ).select("qid", "doc_id", "score").persist()
 
     cands = candidate_edges(query_terms, graph_edges, count_lim).persist()
+    if caches is not None:
+        caches += [topdocs, cands]
 
     vocab = index.vocab.select("term", "df")
     cand_df = cands.select("cand").distinct().join(
@@ -163,6 +170,8 @@ def concept_features(
     # one postings pair-join shared by the global and the feedback-doc
     # counts (persisted: two aggregations consume it)
     pair_docs = _pair_cooccurrence(index, cands).persist()
+    if caches is not None:
+        caches.append(pair_docs)
     df_both = pair_docs.groupBy("orig", "cand").agg(
         F.count("*").alias("df_both")
     )
@@ -298,9 +307,10 @@ def sequential_expand(
     )
     sources = query_terms.select("qid", "term", "weight")
     for ell in range(1, layers + 1):
+        layer_caches: list = []
         feats = concept_features(
             index, sources, graph_edges, top_t=top_t, count_lim=count_lim,
-            rank_round=rank_round,
+            rank_round=rank_round, caches=layer_caches,
         )
         weighted = normalize_and_combine(feats, feature_weights)
         sel = select_expansion_terms(
@@ -322,6 +332,10 @@ def sequential_expand(
             sel.select("qid", "cand", "weight").collect(),
             "qid string, cand string, weight double",
         )
+        # the selection is materialized — release this layer's caches so
+        # iterations don't accumulate persisted partitions
+        for df in layer_caches:
+            df.unpersist()
         lw = float(layer_weights[ell - 1])
         out = out.unionByName(
             sel.select(
