@@ -141,12 +141,9 @@ jpairs AS (
 )
 """
 
-_FEATURES_SQL_ORDER = [
-    "expTDocScore", "topTermFrac", "numCanDocs", "avgCDocScore",
-    "maxCDocScore", "conIdf", "avgColCor", "maxColCor", "avgTopColCor",
-    "maxTopColCor", "avgColPCor", "maxColPCor", "avgTopColPCor",
-    "maxTopColPCor",
-]
+# the oracle's normalization sum iterates the SAME feature list as the
+# Spark combine — importing it keeps the two from desyncing silently
+from .expansion.concept_graph import FEATURES as _FEATURES_SQL_ORDER  # noqa: E402
 
 
 def _feature_sql(p: str, src: str, excl: str, top_t: int, n_sel: int) -> str:
@@ -698,6 +695,7 @@ def q_grid_search_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("metric") == "map") & (F.col("qid") == "all")
         ).collect()[0]["value"]
         rows.append((float(k1), float(b), round(float(map_all), 6)))
+    qrels.unpersist()
     rows.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(
         [(k1, b, m, i + 1) for i, (k1, b, m) in enumerate(rows)],
@@ -798,18 +796,29 @@ def q_feature_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     qt = query_term_table(queries_df(spark))
     edges = cooccur_edges(spark, sf_dir, min_df_both=FEAT_EDGE_MIN)
+    caches: list = []
     feats = concept_features(
-        idx, qt, edges, top_t=FEAT_TOP_T, rank_round=RANK_ROUND
+        idx, qt, edges, top_t=FEAT_TOP_T, rank_round=RANK_ROUND,
+        caches=caches,
     )
     weighted = normalize_and_combine(feats)
     sel = select_expansion_terms(
         weighted, n_terms=FEAT_N_TERMS, rank_round=RANK_ROUND
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round("weight", RANK_ROUND)), F.asc("cand")
-    )
-    return sel.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "qid", "cand", F.round("weight", SCORE_ROUND).alias("weight"), "rank"
+    # materialize (≤ queries × FEAT_N_TERMS rows), release the pass's
+    # caches, and rank client-side on the same (rounded weight desc,
+    # cand asc) key the selection used — no second window pass
+    rows = sel.select("qid", "cand", "weight").collect()
+    for df in caches:
+        df.unpersist()
+    rows.sort(key=lambda r: (r["qid"], -round(r["weight"], RANK_ROUND), r["cand"]))
+    out, rank, prev_qid = [], 0, None
+    for r in rows:
+        rank = rank + 1 if r["qid"] == prev_qid else 1
+        prev_qid = r["qid"]
+        out.append((r["qid"], r["cand"], round(r["weight"], SCORE_ROUND), rank))
+    return spark.createDataFrame(
+        out, "qid string, cand string, weight double, rank long"
     )
 
 

@@ -236,6 +236,8 @@ def mfcc_frames(
 # ---------------------------------------------------------------------------
 
 def mpng_encode(frames: List[np.ndarray], fps: int) -> bytes:
+    if not 1 <= fps <= 0xFFFF:
+        raise ValueError(f"fps must be in [1, 65535], got {fps}")
     parts = [MPNG_MAGIC, struct.pack(">IH", len(frames), fps)]
     for f in frames:
         p = png_encode(f)
@@ -249,10 +251,18 @@ def mpng_info(data: bytes) -> Tuple[int, int, List[int]]:
     sampling seeks straight to the wanted frames like a real demuxer."""
     if bytes(data[:4]) != MPNG_MAGIC:
         raise ValueError("not an MPNG container")
+    if len(data) < 10:
+        raise ValueError("truncated MPNG container (short header)")
     n, fps = struct.unpack_from(">IH", data, 4)
+    if fps < 1:
+        raise ValueError("MPNG header declares fps=0")
     offsets, off = [], 10
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated MPNG container (missing frame length)")
         (ln,) = struct.unpack_from(">I", data, off)
+        if off + 4 + ln > len(data):
+            raise ValueError("truncated MPNG container (short frame)")
         offsets.append(off + 4)
         off += 4 + ln
     return n, fps, offsets

@@ -64,19 +64,24 @@ def _image_feat(img: np.ndarray) -> np.ndarray:
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, payload PNG) -> (id, width, height, feat array<float>[16])."""
+    """(id, payload PNG) -> (id, width, height, feat array<float>[16]).
+    NULL payloads are dropped (no output row), like a quality gate."""
     schema = f"{id_col} long, width int, height int, feat array<float>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {id_col: [], "width": [], "height": [], "feat": []}
             for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                if p is None:
+                    continue
                 img = media.png_decode(p)
                 rows[id_col].append(i)
                 rows["width"].append(img.shape[1])
                 rows["height"].append(img.shape[0])
                 rows["feat"].append(_image_feat(img).tolist())
-            yield pd.DataFrame(rows)
+            if rows[id_col]:  # all-NULL batches: empty pandas columns
+                yield pd.DataFrame(rows)  # default to float64, which Arrow
+                                          # cannot cast to list<float>
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
@@ -89,25 +94,31 @@ def image_resize(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, payload PNG) -> (id, thumb binary PNG, thumb_w, thumb_h):
-    real decode → nearest-neighbour resize → re-encode."""
+    real decode → nearest-neighbour resize → re-encode. NULL payloads
+    are dropped (no output row)."""
     schema = f"{id_col} long, thumb binary, thumb_w int, thumb_h int"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = [
-                media.png_encode(
-                    media.resize_nn(media.png_decode(p), target_w, target_h)
+            ids, thumbs = [], []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                if p is None:
+                    continue
+                ids.append(i)
+                thumbs.append(
+                    media.png_encode(
+                        media.resize_nn(media.png_decode(p), target_w, target_h)
+                    )
                 )
-                for p in pdf[payload_col]
-            ]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "thumb": thumbs,
-                    "thumb_w": target_w,
-                    "thumb_h": target_h,
-                }
-            )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "thumb": thumbs,
+                        "thumb_w": target_w,
+                        "thumb_h": target_h,
+                    }
+                )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
@@ -116,13 +127,15 @@ def audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, payload WAV) -> (id, duration_s, mfcc array<float>[13]):
-    real PCM decode + clip-mean MFCCs."""
+    real PCM decode + clip-mean MFCCs. NULL payloads are dropped."""
     schema = f"{id_col} long, duration_s float, mfcc array<float>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {id_col: [], "duration_s": [], "mfcc": []}
             for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                if p is None:
+                    continue
                 samples, rate = media.wav_decode(p)
                 rows[id_col].append(i)
                 rows["duration_s"].append(float(len(samples)) / rate)
@@ -132,7 +145,8 @@ def audio_features(
                     .astype(np.float32)
                     .tolist()
                 )
-            yield pd.DataFrame(rows)
+            if rows[id_col]:
+                yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
@@ -147,13 +161,18 @@ def video_frame_sample(
     """(id, payload MPNG) -> one row per sampled frame:
     (id, frame_idx, ts_s, frame_feat array<float>[4]). Seeks to the
     sampled frames only (container offsets) and decodes just those —
-    the 1->N mapInPandas fan-out with demuxer-style selective reads."""
+    the 1->N mapInPandas fan-out with demuxer-style selective reads.
+    NULL payloads are dropped."""
+    if every_s <= 0:
+        raise ValueError(f"every_s must be > 0, got {every_s}")
     schema = f"{id_col} long, frame_idx int, ts_s float, frame_feat array<float>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {id_col: [], "frame_idx": [], "ts_s": [], "frame_feat": []}
             for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                if p is None:
+                    continue
                 n, fps, offsets = media.mpng_info(p)
                 picked, seen = [], set()
                 t = 0.0
@@ -178,7 +197,8 @@ def video_frame_sample(
                     rows["frame_idx"].append(fi)
                     rows["ts_s"].append(float(ts))
                     rows["frame_feat"].append(feat.tolist())
-            yield pd.DataFrame(rows)
+            if rows[id_col]:
+                yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 

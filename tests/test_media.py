@@ -141,3 +141,24 @@ def test_mpng_seek_decodes_only_requested_frame():
 def test_mpng_rejects_other_containers():
     with pytest.raises(ValueError, match="MPNG"):
         media.mpng_info(b"RIFFxxxx")
+
+
+def test_mpng_rejects_fps_zero_both_ends():
+    """fps=0 would make a time-step sampler loop forever; the encoder
+    refuses to produce it and the parser refuses to accept it."""
+    frame = [np.zeros((2, 2, 3), dtype=np.uint8)]
+    with pytest.raises(ValueError, match="fps"):
+        media.mpng_encode(frame, fps=0)
+    crafted = media.MPNG_MAGIC + struct.pack(">IH", 0, 0)
+    with pytest.raises(ValueError, match="fps=0"):
+        media.mpng_info(crafted)
+
+
+def test_mpng_rejects_truncated_container():
+    buf = media.mpng_encode(
+        [np.zeros((4, 4, 3), dtype=np.uint8) for _ in range(3)], fps=2
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        media.mpng_info(buf[: len(buf) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        media.mpng_info(buf[:8])

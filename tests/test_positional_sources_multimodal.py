@@ -243,3 +243,22 @@ def test_image_features_rejects_non_png(spark):
     )
     with pytest.raises(Exception, match="PNG|PythonException"):
         mm.image_features(bad).collect()
+
+
+def test_null_payloads_are_skipped_not_crashed(spark, doc_ids):
+    from sequential_query_expansion_spark.operators.multimodal import (
+        _synth_image,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, bytearray(_synth_image(1))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = mm.image_features(mixed).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert mm.image_resize(mixed, 4, 4).count() == 1
+
+
+def test_video_sampler_rejects_nonpositive_step(doc_ids):
+    with pytest.raises(ValueError, match="every_s"):
+        mm.video_frame_sample(mm.synthesize_video_table(doc_ids), every_s=0.0)
