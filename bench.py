@@ -197,6 +197,23 @@ def run_suite(out_path: str | None = None) -> dict:
         sorted(per_q_r)[max(0, int(len(per_q_r) * 0.99) - 1)], 4
     )
 
+    # S14 maintenance: tombstone 1% of docs, then compact (bucket-pruned
+    # rewrite + global re-encode to pfor — the write-once-read-many
+    # codec). Runs on a COPY so the memoized serving dir stays pristine.
+    import shutil
+    import tempfile
+
+    from sequential_query_expansion_spark.index import maintenance as mt
+
+    cdir = tempfile.mkdtemp(prefix="sqe_compact_") + "/idx"
+    shutil.copytree(srv_dir, cdir)
+    deleted = list(range(0, int(n_docs), 100))
+    t0 = time.perf_counter()
+    mt.delete_docs(spark, cdir, deleted)
+    mt.compact_index(spark, cdir, codec="pfor")
+    timings["delete_compact"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(cdir, ignore_errors=True)
+
     def bench(name, fn):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
