@@ -1081,6 +1081,37 @@ def q_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_indri_cfg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 Indri cfg sink closed end-to-end: serialize the frozen query
+    set as an Indri `<parameters>` XML batch (write_indri_cfg, the shape
+    genQueries emits at umls/umlsSeqPubMed.ipynb:555-633), read the file
+    back, and execute each `<text>#weight(...)` through the indriql
+    parser. Output = the parsed per-query term weights (indriql
+    normalizes #weight masses to sum 1); the oracle recomputes the
+    6-dp-serialized normalization from the raw query rows."""
+    import re
+    import tempfile
+
+    from .indriql import parse_indri_query
+    from .sources.trec import write_indri_cfg
+
+    qt = spark.createDataFrame(
+        query_term_rows(), "qid string, term string, weight double"
+    )
+    path = tempfile.mkdtemp(prefix="sqe_cfg_") + "/queries.cfg"
+    write_indri_cfg(qt, path)
+    rows = []
+    for m in re.finditer(
+        r"<query><number>(.*?)</number><text>(.*?)</text></query>",
+        open(path).read(),
+        re.DOTALL,
+    ):
+        qid, text = m.group(1), m.group(2)
+        for term, w in parse_indri_query(text)[0]:
+            rows.append((qid, term, round(w, 6)))
+    return spark.createDataFrame(rows, "qid string, term string, weight double")
+
+
 def q_trec_run_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 SGML topics parse -> tokenized query table -> BM25 top-k ->
     S11 6-col TREC run sink -> read back: the sink must be lossless at
@@ -2258,6 +2289,16 @@ SELECT k1, b, map, rank::BIGINT AS rank FROM (
   FROM grid)
 """
 
+    # S10 roundtrip: %.6f serialization of the raw weights, then the
+    # parser's per-query #weight mass normalization
+    sql["indri_cfg_roundtrip"] = f"""
+WITH {qterms},
+ser AS (SELECT qid, term, round(weight, 6) AS w FROM qterms)
+SELECT qid, term,
+       round(w / sum(w) OVER (PARTITION BY qid), 6) AS weight
+FROM ser
+"""
+
     qm = _sgml_qid_map()
     tq_vals = ",\n    ".join(
         f"('{qm[q]}', '{t}', {w})" for q, t, w in query_term_rows()
@@ -2654,6 +2695,7 @@ SPARK_QUERIES = {
     "umls_concept_expand": q_umls_concept_expand,
     "conceptnet_edges": q_conceptnet_edges,
     "trec_run_roundtrip": q_trec_run_roundtrip,
+    "indri_cfg_roundtrip": q_indri_cfg_roundtrip,
     "stemmed_tokens": q_stemmed_tokens,
     "grid_search_map": q_grid_search_map,
     "assoc_expand": q_assoc_expand,
