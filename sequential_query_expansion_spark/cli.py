@@ -6,12 +6,24 @@ surface here over a checkpointed index directory (index/checkpoint.py
 layout), as DataFrame one-liners:
 
   t  <term>        term stats: df, cf                 (cpp :471-507)
-  e  <term...>     expression count over docs (AND)   (cpp :29-47)
+  tp <term>        inverted list WITH positions       (cpp :425-470)
+  e  <expr>        per-doc match counts for an Indri count expression
+                   (term / #odN / #uwN / #uw(#4(..) ..))  (cpp :245-269)
+  x  <expr>        total occurrence count of <expr>   (cpp :38-47)
+  dx <expr>        count of docs containing <expr>    (cpp :29-36)
+  fx <file>        x for every line of a file         (cpp :191-210)
+  ef <file>        matching doc names for every line  (cpp :94-130)
+  efb <file>       brief form: lines are `expr:doc1,doc2,...`; prints
+                   `expr:n,names-in-given-list,:orig` (cpp :49-92)
   dcf <doc_id>     document length                    (cpp :125-150)
   dn <doc_id>      doc id -> external name            (cpp :525-536)
   di <url>         external name -> doc id            (cpp :538-549)
-  dv <doc_id>      document vector (term sequence absent — stems only
-                   via postings)                      (cpp :631-663)
+  dt <doc_id>      stored document text               (cpp :516-523)
+  dd <doc_id>      full document record: metadata, token positions,
+                   text                               (cpp :551-593)
+  dm               full doc_id -> name map            (cpp :525-548)
+  dcsv             every doc as `name,term sequence`  (cpp :595-630)
+  dv <doc_id>      document vector (terms + tf)       (cpp :631-663)
   il [term]        inverted list dump                 (cpp :317-351)
   v                vocabulary dump                    (cpp :357-378)
   s                repository stats                   (cpp :678-698)
@@ -21,12 +33,19 @@ layout), as DataFrame one-liners:
   del <id...>      tombstone documents (S14 delete; cpp :710-723)
   compact [codec]  apply tombstones + rewrite (S14 compact); codec =
                    pfor (default, serving-optimized) or varint
+  m  <in1> <in2>.. merge input indexes INTO <index_dir> (cpp :700-708)
+
+`tp`/`e`/`x`/`dx`/`fx`/`ef`/`efb` need the positional stage
+(build_index_checkpointed(with_positions=True)); `dt`/`dd`/`dcsv` need
+the stored-docs stage (with_docs=True). Both report a clear error when
+the stage is absent.
 
 Usage: python -m sequential_query_expansion_spark.cli <index_dir> <cmd> [args]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -34,6 +53,46 @@ from pyspark.sql import functions as F
 from .index.checkpoint import load_index
 from .scoring.bm25 import query_term_table, score_topk
 from .session import get_spark
+
+
+def _docs_table(spark, index_dir: str):
+    p = os.path.join(index_dir, "docs")
+    if not os.path.isdir(p):
+        raise SystemExit(
+            "this index has no stored-docs stage; rebuild with "
+            "build_index_checkpointed(..., with_docs=True)"
+        )
+    return spark.read.parquet(p)
+
+
+def _need_positional(idx):
+    if idx.positional is None:
+        raise SystemExit(
+            "this index has no positional stage; rebuild with "
+            "build_index_checkpointed(..., with_positions=True)"
+        )
+    return idx.positional
+
+
+def _matches(idx, expr: str):
+    """expr string -> (doc_id, matches) DataFrame via the extent
+    evaluator; candidates come from posting intersections."""
+    from .index.positions import expression_matches
+    from .indriql import parse_count_expression
+
+    return expression_matches(_need_positional(idx), parse_count_expression(expr))
+
+
+def _expr_lines(path: str) -> list:
+    seen: set = set()
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip().strip('"')
+            if line and line not in seen:
+                seen.add(line)
+                out.append(line)
+    return out
 
 
 def main(argv=None) -> int:
@@ -57,22 +116,130 @@ def main(argv=None) -> int:
         idx = compact_index(spark, index_dir, codec=codec)
         print(f"compacted ({codec}); {idx.n_docs} docs remain")
         return 0
+    if cmd == "m":
+        from .index.maintenance import merge_indexes
+
+        if not args:
+            print("m needs at least one input index dir")
+            return 2
+        idx = merge_indexes(spark, index_dir, list(args))
+        print(f"merged {len(args)} indexes into {index_dir}; "
+              f"{idx.n_docs} docs")
+        return 0
 
     idx = load_index(spark, index_dir)
 
     if cmd == "t":
         idx.vocab.filter(F.col("term") == args[0]).show()
+    elif cmd == "tp":
+        # `term stem termCount totalCount` header, then per-doc
+        # `doc_id n_positions dl pos...` (cpp :425-470). No stemming at
+        # build time -> stem == term.
+        term = args[0]
+        total = idx.vocab.agg(F.sum("cf")).head()[0]
+        cf_row = idx.vocab.filter(F.col("term") == term).head()
+        print(f"{term} {term} {cf_row['cf'] if cf_row else 0} {total}")
+        pos = (
+            _need_positional(idx)
+            .filter(F.col("term") == term)
+            .join(idx.doc_len, "doc_id")
+            .orderBy("doc_id")
+            .select("doc_id", "positions", "dl")
+        )
+        for r in pos.toLocalIterator():
+            ps = " ".join(str(p) for p in r["positions"])
+            print(f"{r['doc_id']} {len(r['positions'])} {r['dl']} {ps}")
     elif cmd == "e":
-        hits = idx.postings_flat.filter(F.col("term").isin(args)).groupBy(
-            "doc_id"
-        ).agg(F.count("*").alias("n")).filter(F.col("n") == len(set(args)))
-        print(f"{' '.join(args)}:{hits.count()}")
+        expr = " ".join(args)
+        hdr = idx.vocab.agg(F.sum("cf")).head()[0]
+        print(f"{expr} {hdr} {idx.n_docs}")
+        _matches(idx, expr).orderBy("doc_id").show(100)
+    elif cmd == "x":
+        expr = " ".join(args)
+        n = _matches(idx, expr).agg(F.sum("matches")).head()[0] or 0
+        print(f"{expr}:{n}")
+    elif cmd == "dx":
+        expr = " ".join(args)
+        print(f"{expr}:{_matches(idx, expr).count()}")
+    elif cmd == "fx":
+        for line in _expr_lines(args[0]):
+            n = _matches(idx, line).agg(F.sum("matches")).head()[0] or 0
+            print(f"{line}:{n}")
+    elif cmd == "ef":
+        for line in _expr_lines(args[0]):
+            names = (
+                _matches(idx, line)
+                .join(idx.docmap, "doc_id")
+                .orderBy("doc_id")
+                .select("url")
+                .toLocalIterator()
+            )
+            print(f"{line}:" + ",".join(r["url"] for r in names) + ",")
+    elif cmd == "efb":
+        # lines are `expr:docno1,docno2,...` — print match count and the
+        # intersection of matching docs with the given list (cpp :49-92)
+        for raw in _expr_lines(args[0]):
+            expr, _, given = raw.partition(":")
+            given_set = [g for g in given.split(",") if g]
+            m = _matches(idx, expr).join(idx.docmap, "doc_id")
+            rows = m.select("url").toLocalIterator()
+            urls = [r["url"] for r in rows]
+            hit = [u for u in urls if u in set(given_set)]
+            print(f"{expr}:{len(urls)}," + ",".join(hit) + f",:{given}")
     elif cmd == "dcf":
         idx.doc_len.filter(F.col("doc_id") == int(args[0])).show()
     elif cmd == "dn":
         idx.docmap.filter(F.col("doc_id") == int(args[0])).show(truncate=False)
     elif cmd == "di":
         idx.docmap.filter(F.col("url") == args[0]).show(truncate=False)
+    elif cmd == "dt":
+        row = (
+            _docs_table(spark, index_dir)
+            .filter(F.col("doc_id") == int(args[0]))
+            .head()
+        )
+        print(row["text"] if row else f"no document {args[0]}")
+    elif cmd == "dd":
+        doc_id = int(args[0])
+        row = (
+            _docs_table(spark, index_dir)
+            .filter(F.col("doc_id") == doc_id)
+            .head()
+        )
+        if row is None:
+            print(f"no document {doc_id}")
+            return 1
+        name = idx.docmap.filter(F.col("doc_id") == doc_id).head()
+        print("\n--- Metadata ---\n")
+        print(f"docno: {name['url'] if name else doc_id}")
+        for k in row.asDict():
+            if k not in ("doc_id", "text"):
+                print(f"{k}: {row[k]}")
+        from .functions.text import tokenize_py
+
+        print("\n--- Positions ---\n")
+        for i, tok in enumerate(tokenize_py(row["text"])):
+            print(f"{i} {tok}")
+        print("\n--- Text ---\n")
+        print(row["text"])
+    elif cmd == "dm":
+        for r in idx.docmap.orderBy("doc_id").toLocalIterator():
+            print(f"{r['doc_id']} {r['url']}")
+    elif cmd == "dcsv":
+        # `name,term sequence` per doc (cpp :595-630) — the term sequence
+        # is the tokenized text, which IS the indexed stem sequence
+        # (no build-time stemming; [OOV] never occurs: every token is
+        # indexed)
+        from .functions.text import tokenize_col
+
+        rows = (
+            _docs_table(spark, index_dir)
+            .join(idx.docmap, "doc_id")
+            .orderBy("doc_id")
+            .select("url", tokenize_col(F.col("text")).alias("toks"))
+        )
+        for r in rows.toLocalIterator():
+            print(f"{r['url']}," + " ".join(r["toks"]) + " ")
     elif cmd == "dv":
         (
             idx.postings_flat.filter(F.col("doc_id") == int(args[0]))

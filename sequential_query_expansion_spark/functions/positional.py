@@ -69,6 +69,101 @@ def od_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
     return od_count_positions([_positions(tokens, t) for t in terms], n)
 
 
+def od_match_extents(pos: List[np.ndarray], n: int) -> np.ndarray:
+    """(begin, end) extent of every greedy `#odN` chain — the SAME chains
+    ``od_count_positions`` counts (len(result) == its count). Indri's
+    extent iterators expose these spans (occuranceCount.cpp:245-269
+    prints `document weight begin end` per match); the nested-window
+    evaluator consumes them as child events."""
+    if any(len(p) == 0 for p in pos):
+        return np.empty((0, 2), dtype=np.int64)
+    out = []
+    for p0 in pos[0]:
+        cur = int(p0)
+        ok = True
+        for p in pos[1:]:
+            j = int(np.searchsorted(p, cur + 1))
+            if j >= len(p) or p[j] - cur > n:
+                ok = False
+                break
+            cur = int(p[j])
+        if ok:
+            out.append((int(p0), cur))
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.asarray(out, dtype=np.int64)
+
+
+def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
+    """Unordered window over child EXTENTS — `#uw( #4(a b) c ... )`.
+
+    Each child contributes (begin, end) extents; a match is a
+    left-minimal set of events (sorted by begin) holding >=1 extent of
+    every child whose covering span ``max(end) - min(begin) + 1 <= n``
+    (``n=None`` = unlimited, Indri's bare `#uw`). With single-position
+    extents this reduces EXACTLY to ``uw_count_py``'s kernel (ends ==
+    begins, so the span check is rp - lp + 1)."""
+    k = len(ext)
+    if k == 0 or any(len(e) == 0 for e in ext):
+        return 0
+    events = sorted(
+        (int(b), int(e), i) for i, arr in enumerate(ext) for b, e in arr
+    )
+    cnt = [0] * k
+    have = 0
+    res = 0
+    left = 0
+    for ri in range(len(events)):
+        rt = events[ri][2]
+        cnt[rt] += 1
+        if cnt[rt] == 1:
+            have += 1
+        while have == k:
+            lb, _, lt = events[left]
+            if cnt[lt] > 1:
+                cnt[lt] -= 1
+                left += 1
+                continue
+            if n is None or (
+                max(e for _, e, _ in events[left:ri + 1]) - lb + 1 <= n
+            ):
+                res += 1
+            cnt[lt] -= 1
+            have -= 1
+            left += 1
+    return res
+
+
+def expression_count_py(tokens: Sequence[str], tree) -> int:
+    """Pure-Python oracle for count-expression trees (indriql.
+    parse_count_expression shapes): total match count over ONE token
+    sequence. Tests pin the distributed evaluator
+    (index.positions.expression_matches) against this."""
+    kind = tree[0]
+    if kind == "term":
+        return int(len(_positions(tokens, tree[1])))
+    if kind == "od":
+        return od_count_py(tokens, tree[2], tree[1])
+    if kind == "uw":
+        _, n, children = tree
+        exts = [expression_extents_py(tokens, c) for c in children]
+        return uw_count_extents(exts, n)
+    raise ValueError(f"unknown count-expression node {kind!r}")
+
+
+def expression_extents_py(tokens: Sequence[str], tree) -> np.ndarray:
+    """Extents of a term / #odN child node over one token sequence."""
+    kind = tree[0]
+    if kind == "term":
+        p = _positions(tokens, tree[1])
+        return np.stack([p, p], axis=1) if len(p) else np.empty((0, 2), np.int64)
+    if kind == "od":
+        return od_match_extents(
+            [_positions(tokens, t) for t in tree[2]], tree[1]
+        )
+    raise ValueError(f"#uw child must be a term or #odN group, got {kind!r}")
+
+
 def uw_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:
     """Unordered-window match count: left-minimal covering windows of
     width (inclusive token span) ≤ n. Duplicate query terms collapse to

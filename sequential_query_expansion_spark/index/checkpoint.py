@@ -91,6 +91,7 @@ def build_index_checkpointed(
     num_buckets: int = NUM_BUCKETS,
     with_positions: bool = False,
     with_doc_vectors: bool = False,
+    with_docs: bool = False,
     codec: str = "varint",
 ) -> IndexTables:
     """docs(doc_id, text) -> IndexTables, all stages checkpointed under
@@ -216,6 +217,19 @@ def build_index_checkpointed(
             _partition_metrics(spark.read.parquet(dv_path)),
         )
         mark_stage("doc_vectors")
+
+    if with_docs and not stage_done("docs"):
+        # stored document table — Indri's CompressedCollection (parquet
+        # columns are already compressed), backing `dumpindex dt/dd/dcsv`
+        # (occuranceCount.cpp:516-523, :551-593, :595-630). Sorted by
+        # doc_id so point fetches prune row groups, same policy as docmap.
+        docs_path = os.path.join(out_dir, "docs")
+        docs.sort("doc_id").write.mode("overwrite").parquet(docs_path)
+        _append_metrics(
+            spark, out_dir, "docs",
+            _partition_metrics(spark.read.parquet(docs_path)),
+        )
+        mark_stage("docs")
 
     if with_positions and not stage_done("positional"):
         from ..functions.text import tokenize_col

@@ -219,7 +219,7 @@ def compact_index(spark: SparkSession, out_dir: str,
 
     if tomb is not None:
         # doc tables
-        for name in ("docmap", "doc_len", "doc_vectors"):
+        for name in ("docmap", "doc_len", "doc_vectors", "docs"):
             p = os.path.join(out_dir, name)
             tmp = p + ".compact.tmp"
             if not os.path.isdir(p) and os.path.isdir(tmp):
@@ -230,8 +230,8 @@ def compact_index(spark: SparkSession, out_dir: str,
                 # this, doc_vectors would silently vanish (optional-stage
                 # continue) and docmap/doc_len would fail the read
                 os.replace(tmp, p)
-            if name == "doc_vectors" and not os.path.isdir(p):
-                continue  # optional forward-index stage, never published
+            if name in ("doc_vectors", "docs") and not os.path.isdir(p):
+                continue  # optional stages, never published
             kept = spark.read.parquet(p).join(
                 F.broadcast(tomb), "doc_id", "left_anti"
             ).sort("doc_id")  # keep the publish-time doc_id sort
@@ -302,3 +302,125 @@ def compact_index(spark: SparkSession, out_dir: str,
         shutil.rmtree(_tomb_path(out_dir))
     os.remove(sentinel)
     return load_index(spark, out_dir)
+
+
+def merge_indexes(
+    spark: SparkSession,
+    out_dir: str,
+    input_dirs: list,
+    codec: str = "pfor",
+) -> IndexTables:
+    """Merge several checkpointed indexes into a fresh one at ``out_dir``
+    — Indri's ``Repository::merge`` (occuranceCount.cpp:700-708,
+    `dumpindex m <out> <in...>`).
+
+    Doc ids renumber by cumulative offset (Indri's per-repository
+    sequential ids do the same on merge); term stats (df/cf/avgdl/
+    n_docs), block-max bounds and the blocked encoding are all rebuilt
+    over the union via ``compact_index`` — bounds computed under one
+    input's collection stats would be unsound for the merged one.
+    Optional stages (docs / doc_vectors / positional) merge when EVERY
+    input carries them; otherwise they're dropped (a partial stage would
+    silently serve wrong 'missing doc' answers for the other inputs).
+
+    Inputs with pending tombstones are refused: merging their raw
+    postings would resurrect deleted docs — compact them first.
+    """
+    from .checkpoint import validate_index_dir
+
+    if not input_dirs:
+        raise ValueError("merge needs at least one input index")
+    all_stats = []
+    for d in input_dirs:
+        stats = validate_index_dir(d)
+        if tombstones(spark, d) is not None:
+            raise ValueError(
+                f"input index {d} has pending tombstones; run "
+                "compact_index on it before merging"
+            )
+        all_stats.append(stats)
+
+    os.makedirs(out_dir, exist_ok=True)
+    num_buckets = all_stats[0].get("num_buckets", 64)
+    salt_ranges = all_stats[0].get("salt_ranges", 8)
+
+    offsets = []
+    off = 0
+    for s in all_stats:
+        offsets.append(off)
+        off += int(s["n_docs"])
+
+    def shifted(sub: str, i: int) -> DataFrame:
+        df = spark.read.parquet(os.path.join(input_dirs[i], sub))
+        return df.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(offsets[i])).cast("long")
+        )
+
+    def union_stage(sub: str) -> DataFrame:
+        out = shifted(sub, 0)
+        for i in range(1, len(input_dirs)):
+            out = out.unionByName(shifted(sub, i))
+        return out
+
+    flat = union_stage("postings_flat").drop("bucket").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    flat.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "postings_flat")
+    )
+    union_stage("docmap").sort("doc_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docmap")
+    )
+    union_stage("doc_len").sort("doc_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_len")
+    )
+    stages = ["flat", "blocked"]
+    for sub in ("docs", "doc_vectors"):
+        if all(
+            os.path.isdir(os.path.join(d, sub)) for d in input_dirs
+        ):
+            union_stage(sub).sort("doc_id").write.mode("overwrite").parquet(
+                os.path.join(out_dir, sub)
+            )
+            stages.append(sub)
+    if all(
+        os.path.isdir(os.path.join(d, "positional")) for d in input_dirs
+    ):
+        pos = union_stage("positional").drop("bucket").withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        pos.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "positional")
+        )
+        stages.append("positional")
+
+    import json as _json
+
+    from .codec import BLOCK_FORMAT
+
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        _json.dump(
+            {
+                "n_docs": off,
+                "avgdl": 0.0,  # recomputed by compact_index below
+                "salt_ranges": salt_ranges,
+                "num_buckets": num_buckets,
+                "block_format": BLOCK_FORMAT,
+                "merged_from": list(input_dirs),
+            },
+            f,
+        )
+    _save_manifest(
+        out_dir,
+        {"stages": stages, "buckets_done": sorted(range(num_buckets))},
+    )
+    _append_metrics(
+        spark, out_dir, "merge",
+        spark.createDataFrame(
+            [(i, int(s["n_docs"])) for i, s in enumerate(all_stats)],
+            "partition_id int, rows long",
+        ),
+    )
+    # one global finish pass: vocab, n_docs/avgdl, blocked re-encode with
+    # generation stamping — identical machinery to a post-delete compact
+    return compact_index(spark, out_dir, codec=codec)

@@ -26,7 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.positional import od_count_positions
+from ..functions.positional import (
+    od_count_positions,
+    od_match_extents,
+    uw_count_extents,
+)
 
 
 def build_positional_postings(doc_terms: DataFrame) -> DataFrame:
@@ -124,3 +128,106 @@ def phrase_counts(
             yield out[out.matches > 0]
 
     return joined.mapInPandas(count_fn, schema="doc_id long, matches int")
+
+
+# ---------------------------------------------------------------------------
+# Count-expression evaluation (dumpindex x/dx/e/ef — extent algebra)
+# ---------------------------------------------------------------------------
+
+def _child_extents(positional: DataFrame, child, tag: str) -> DataFrame:
+    """One #uw child -> (doc_id, {tag}_b array<long>, {tag}_e array<long>):
+    the child's match extents per doc. term -> point extents; #odN group
+    -> greedy-chain extents (od_match_extents), docs with 0 matches drop
+    (inner-join semantics: every child must match)."""
+    if child[0] == "term":
+        return positional.filter(F.col("term") == child[1]).select(
+            "doc_id",
+            F.col("positions").cast("array<long>").alias(f"{tag}_b"),
+            F.col("positions").cast("array<long>").alias(f"{tag}_e"),
+        )
+    _, n, terms = child
+    parts = [
+        positional.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"q{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    k = len(terms)
+
+    def ext_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_b, out_e = [], [], []
+            for row in pdf.itertuples(index=False):
+                pos = [
+                    np.asarray(getattr(row, f"q{i}"), dtype=np.int64)
+                    for i in range(k)
+                ]
+                ext = od_match_extents(pos, n)
+                if len(ext):
+                    out_doc.append(row.doc_id)
+                    out_b.append(ext[:, 0].tolist())
+                    out_e.append(ext[:, 1].tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, f"{tag}_b": out_b, f"{tag}_e": out_e}
+            )
+
+    return joined.mapInPandas(
+        ext_fn,
+        schema=f"doc_id long, {tag}_b array<long>, {tag}_e array<long>",
+    )
+
+
+def expression_matches(positional: DataFrame, tree) -> DataFrame:
+    """Count-expression tree (indriql.parse_count_expression) ->
+    (doc_id, matches int), matches >= 1 — the backing for `dumpindex`'s
+    x/dx/e/ef/efb/fx commands (occuranceCount.cpp:29-47, :94-130,
+    :191-210, :245-269).
+
+    Same scale shape as phrase_counts: candidate docs come from posting
+    intersections (inner equi-joins on doc_id), kernels run over Arrow
+    batches of the survivors only — position arrays never shuffle for
+    docs missing any child.
+    """
+    kind = tree[0]
+    if kind == "term":
+        return positional.filter(F.col("term") == tree[1]).select(
+            "doc_id", F.size("positions").cast("int").alias("matches")
+        )
+    if kind == "od":
+        return phrase_counts(positional, tree[2], tree[1], ordered=True)
+    if kind != "uw":
+        raise ValueError(f"unknown count-expression node {kind!r}")
+    _, n, children = tree
+    if all(c[0] == "term" for c in children):
+        # flat #uw — reuse the positional uw kernel (n=None -> unlimited)
+        width = n if n is not None else (1 << 30)
+        return phrase_counts(
+            positional, [c[1] for c in children], width, ordered=False
+        )
+    parts = [
+        _child_extents(positional, c, f"c{i}") for i, c in enumerate(children)
+    ]
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    k = len(children)
+
+    def uw_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_m = [], []
+            for row in pdf.itertuples(index=False):
+                ext = []
+                for i in range(k):
+                    b = np.asarray(getattr(row, f"c{i}_b"), dtype=np.int64)
+                    e = np.asarray(getattr(row, f"c{i}_e"), dtype=np.int64)
+                    ext.append(np.stack([b, e], axis=1))
+                m = uw_count_extents(ext, n)
+                if m > 0:
+                    out_doc.append(row.doc_id)
+                    out_m.append(m)
+            yield pd.DataFrame({"doc_id": out_doc, "matches": out_m})
+
+    return joined.mapInPandas(uw_fn, schema="doc_id long, matches int")

@@ -101,16 +101,36 @@ class _Parser:
         if self.next() != "(":
             self._fail(f"expected '(' after {tok}")
         if name in ("od", "uw", ""):
-            terms: List[str] = []
+            children: List = []
+            nested = False
             while (t := self.next()) != ")":
-                if t.startswith("#") or t == "(":
-                    self._fail(
-                        f"window operator {tok} takes bare terms only, "
-                        f"got {t!r}"
-                    )
-                terms.append(t)
+                if t == "(":
+                    self._fail(f"unexpected '(' inside {tok}")
+                if t.startswith("#"):
+                    # Indri's nested extent form — `#uw(#4(a b) c)`, the
+                    # shape the reference's probe expressions use
+                    # (occuranceCount/statement.txt_e:2-5). Only #uw
+                    # accepts it, and only #odN/#N groups inside.
+                    if name != "uw":
+                        self._fail(
+                            f"window operator {tok} takes bare terms "
+                            f"only, got {t!r}"
+                        )
+                    child = self.parse_op(t)
+                    if child[0] != "od":
+                        self._fail(
+                            f"#uw children must be terms or #odN groups, "
+                            f"got #{child[0]}"
+                        )
+                    children.append(child)
+                    nested = True
+                else:
+                    children.append(("term", t))
+            terms = [c[1] for c in children if c[0] == "term"]
             if name == "uw":
                 n = int(num) if num else None  # resolved after tokenize
+                if nested:
+                    return ("uwx", n, children)
                 return ("uw", n, terms)
             # #odN, or bare #N (Indri's ordered shorthand; #od ≡ #od1)
             return ("od", int(num) if num else 1, terms)
@@ -196,6 +216,24 @@ def _flatten(node, w: float, terms: dict, phrases: list, text: str) -> None:
             # clauses' 4m+1 uses the phrase length pre-dedup too)
             n = node[1] if node[1] is not None else default_uw_n(len(raw))
             phrases.append((toks, n, False, w))
+    elif kind == "uwx":
+        # nested `#uw(#4(a) #4(b) c)`: when every #odN child normalizes
+        # to a single token (the only nested shape the reference's
+        # retrieval-side renderings produce), the window degenerates to a
+        # plain #uw over those tokens. Multi-term extents inside #uw are
+        # count-expression-only (parse_count_expression / `dumpindex x`).
+        raw: List[str] = []
+        for c in node[2]:
+            ctoks = tokenize_py(c[1]) if c[0] == "term" else _norm_window_terms(
+                c[2], "#od", text
+            )
+            if c[0] == "od" and len(ctoks) > 1:
+                raise ValueError(
+                    f"indriql: multi-term #od group inside #uw is "
+                    f"supported for counting only (query {text!r})"
+                )
+            raw.extend(ctoks)
+        _flatten(("uw", node[1], raw), w, terms, phrases, text)
     else:  # pragma: no cover
         raise AssertionError(kind)
 
@@ -220,6 +258,77 @@ def parse_indri_query(
     phrases: list = []
     _flatten(tree, weight, terms, phrases, text)
     return sorted(terms.items()), phrases
+
+
+def parse_count_expression(text: str):
+    """One Indri COUNT expression (`dumpindex x/dx/e/ef` argument —
+    occuranceCount.cpp:38-47 expressionCount, :29-36
+    documentExpressionCount; probe shapes statement.txt_e:1-5) ->
+
+        ("term", token)
+      | ("od", n, [tokens])                       # #odN / #N / quoted text
+      | ("uw", n_or_None, [child...])             # children: term|od
+
+    n=None means Indri's unlimited bare `#uw`. Terms are normalized
+    through the engine tokenizer; an #od group that normalizes to one
+    token degenerates to a term child; duplicate #uw term children
+    collapse (same policy as uw_count_py). Retrieval operators
+    (#combine/#weight) are not count expressions and raise."""
+    toks = _lex(text)
+    if not toks:
+        raise ValueError("empty count expression")
+    p = _Parser(toks, text)
+    nodes = []
+    while p.peek() is not None:
+        nodes.append(p.parse_expr())
+    if len(nodes) == 1:
+        node = nodes[0]
+    else:
+        # bare multi-word text: Indri's quoted-phrase counting form is
+        # exact adjacency (#1)
+        if any(nd[0] != "term" for nd in nodes):
+            raise ValueError(
+                f"count expression must be a single term/window, got "
+                f"{text!r}"
+            )
+        node = ("od", 1, [nd[1] for nd in nodes])
+
+    def norm_od(n, raw):
+        ts = _norm_window_terms(raw, "#od", text)
+        return ("term", ts[0]) if len(ts) == 1 else ("od", n, ts)
+
+    kind = node[0]
+    if kind == "term":
+        ts = tokenize_py(node[1])
+        if not ts:
+            raise ValueError(f"expression {text!r} normalized to nothing")
+        return ("term", ts[0]) if len(ts) == 1 else ("od", 1, ts)
+    if kind == "od":
+        return norm_od(node[1], node[2])
+    if kind in ("uw", "uwx"):
+        raw_children = (
+            [("term", t) for t in node[2]] if kind == "uw" else node[2]
+        )
+        children, seen = [], set()
+        for c in raw_children:
+            if c[0] == "term":
+                norms = [("term", t) for t in tokenize_py(c[1])]
+            else:
+                norms = [norm_od(c[1], c[2])]
+            for cn in norms:
+                key = cn if cn[0] == "term" else ("od", cn[1], tuple(cn[2]))
+                if key not in seen:
+                    seen.add(key)
+                    children.append(cn)
+        if not children:
+            raise ValueError(f"expression {text!r} normalized to nothing")
+        if len(children) == 1:
+            return children[0]
+        return ("uw", node[1], children)
+    raise ValueError(
+        f"#{kind} is a retrieval operator, not a count expression "
+        f"({text!r})"
+    )
 
 
 def parse_indri_topics(

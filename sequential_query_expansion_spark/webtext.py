@@ -109,6 +109,11 @@ def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
             out,
             with_positions=True,      # serving index answers phrase queries
             with_doc_vectors=True,    # ... and PRF (RM3) queries
+            # bucket count is a pure layout knob: 64 term-hash buckets on
+            # a 500-doc test corpus is 3 stages x 64 near-empty parquet
+            # dirs of write overhead; 8 keeps the same pruning story at
+            # test scale (production builds keep the 64 default)
+            num_buckets=8,
         )
         _INDEX_CACHE[key] = out
     return _INDEX_CACHE[key]
