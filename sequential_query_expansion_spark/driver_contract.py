@@ -661,6 +661,11 @@ def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P_CUTS = [5, 10, 20, 100]      # trec_eval P_k ladder (subset)
 NDCG_CUTS = [10, 100]
+# F6 hard-topics projection: the frozen "hard" subset of the query set
+# (stopword-dominated q10, OOV-bearing q11, short ambiguous q07) — the
+# reference slices its per-topic tables to such a list (hardTopics
+# filter, optParams/wsdm12-improved-NThrsh-coordAsc.ipynb cell 13)
+HARD_TOPICS = ["q07", "q10", "q11"]
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +676,21 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qrels = pseudo_qrels(spark, sf_dir)
     out = evaluate(run, qrels, p_at=P_CUTS, ndcg_at=NDCG_CUTS)
+    return out.select("metric", "qid", F.round("value", 6).alias("value"))
+
+
+def q_hard_topics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 hard-topics projection: the run sliced to HARD_TOPICS before
+    evaluation, so every metric (including 'all') aggregates over the
+    hard subset only."""
+    idx = doc_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    run = (
+        score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND)
+        .filter(F.col("qid").isin(HARD_TOPICS))      # <- F6, the projection
+        .select("qid", "doc_id", "rank", "score")
+    )
+    out = evaluate(run, pseudo_qrels(spark, sf_dir), p_at=[10], ndcg_at=[10])
     return out.select("metric", "qid", F.round("value", 6).alias("value"))
 
 
@@ -1054,7 +1074,110 @@ def q_umls_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("cui"))
     return cand.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "qid", "cui", "cand_name", "weight", "rank"
+        "qid",
+        "cui",
+        "cand_name",
+        # X8: multiword concept names become underscore query tokens
+        # (w.replace(" ","_"), optParams/...coordAsc.ipynb cell 16)
+        F.regexp_replace("cand_name", " ", "_").alias("concept_key"),
+        "weight",
+        "rank",
+    )
+
+
+LIVE_DELETE_MOD = 50           # tombstone every 50th doc_id
+_LIVE_DELETE_DIRS: dict = {}   # sf_dir -> (index copy dir, compacted?)
+
+
+def q_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 end-to-end, driver-verified: tombstone every
+    ``LIVE_DELETE_MOD``-th doc on a copy of the serving index, answer the
+    query set LIVE (tombstone anti-joins; WAND stays disabled because the
+    stale block-max bounds are unsound once deletes raise idf —
+    index/maintenance.py module docstring), then ``compact_index`` and
+    re-answer through the re-encoded blocked postings + WAND kernel.
+    Both phases must equal BM25 over the surviving docs — one oracle
+    (documents minus doc_id % mod == 0), two phases.
+
+    The live phase is materialized BEFORE compact mutates the directory,
+    so the tombstone path genuinely executes."""
+    import shutil
+    import tempfile
+
+    from .index import maintenance as mt
+    from .index.checkpoint import load_index
+    from .scoring.wand import wand_topk
+    from .webtext import disk_index_dir
+
+    if sf_dir not in _LIVE_DELETE_DIRS:
+        src = disk_index_dir(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="sqe_livedel_") + "/idx"
+        shutil.copytree(src, d)
+        docmap = spark.read.parquet(f"{d}/docmap")
+        mt.delete_docs(
+            spark, d,
+            docmap.filter(F.col("doc_id") % LIVE_DELETE_MOD == 0)
+            .select("doc_id"),
+        )
+        _LIVE_DELETE_DIRS[sf_dir] = {"dir": d, "compacted": False}
+    state = _LIVE_DELETE_DIRS[sf_dir]
+    d = state["dir"]
+    qt = query_term_table(queries_df(spark))
+
+    def run_rows(idx, use_wand: bool, phase: str) -> list:
+        if use_wand:
+            out = wand_topk(idx, qt, k=TOPK, salt_ranges=8,
+                            rank_round=RANK_ROUND)
+        else:
+            out = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND,
+                             with_url=False)
+        return [
+            (r["qid"], r["doc_id"], int(r["rank"]),
+             round(r["score"], SCORE_ROUND), phase)
+            for r in out.select("qid", "doc_id", "rank", "score").collect()
+        ]
+
+    rows = run_rows(mt.load_index_live(spark, d), False, "live")
+    if not state["compacted"]:
+        mt.compact_index(spark, d, codec="pfor")
+        state["compacted"] = True
+    rows += run_rows(load_index(spark, d), True, "compacted")
+    return spark.createDataFrame(
+        rows,
+        "qid string, doc_id long, rank long, score double, phase string",
+    )
+
+
+IMG_PROBE_N = 16               # synthetic PNG probes (doc_id 0..N-1)
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path end-to-end, value-oracled: deterministic
+    synthetic RGB frames (operators/multimodal._synth_image_pixels) are
+    PNG-ENCODED (zlib scanlines, filters, CRC), decoded back through the
+    same spec-conformant codec inside a mapInPandas batch, and reduced to
+    channel statistics. The oracle recomputes the statistics from the
+    RAW pixel arrays — no PNG in its loop — so any codec round-trip
+    corruption surfaces as a value mismatch."""
+    from .operators import multimodal as mm
+
+    docs = load_documents(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < IMG_PROBE_N
+    )
+    feats = mm.image_features(mm.synthesize_image_table(docs))
+    cols = {
+        "r_mean": 1, "g_mean": 2, "b_mean": 3,
+        "r_std": 4, "g_std": 5, "b_std": 6,
+        "gray_mean": 16,
+    }
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        *[
+            F.round(F.element_at("feat", i).cast("double"), 4).alias(name)
+            for name, i in cols.items()
+        ],
     )
 
 
@@ -1460,6 +1583,122 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL
 # ---------------------------------------------------------------------------
 
+def _eval_sql(qterms: str, p_cuts: list, ndcg_cuts: list,
+              run_where: str = "") -> str:
+    """trec_eval-equivalent metric block over the BM25 run, as one
+    DuckDB query. ``run_where`` restricts the evaluated run (the F6
+    hard-topics projection); metric inventory follows the cut lists."""
+    P_CUTS, NDCG_CUTS = p_cuts, ndcg_cuts
+    return f"""
+WITH {_BASE},
+{qterms},
+{_SCORED},
+{_QRELS},
+run AS (SELECT qid, doc_id, rank FROM topk
+        WHERE rank <= {TOPK}{run_where}),
+j AS (SELECT r.qid, r.doc_id, r.rank, coalesce(qr.rel, 0) AS rel
+      FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+perhit AS (
+  SELECT qid, doc_id, rank, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS hits
+  FROM j),
+aggq AS (
+  SELECT p.qid,
+         sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         {", ".join(
+             f"sum(CASE WHEN rel > 0 AND rank <= {p} THEN 1 ELSE 0 END) AS hits_at_{p}"
+             for p in P_CUTS
+         )},
+         {", ".join(
+             f"sum(CASE WHEN rel > 0 AND rank <= {n} "
+             f"THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg_{n}"
+             for n in NDCG_CUTS
+         )},
+         sum(CASE WHEN rel > 0 AND rank <= n.n_rel THEN 1 ELSE 0 END) AS rprec_hits,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret,
+         count(*) AS num_ret,
+         {", ".join(
+             f"max(CASE WHEN rel > 0 AND hits * 10 >= {lvl} * n.n_rel "
+             f"THEN hits::DOUBLE / rank END) AS ip{lvl}"
+             for lvl in range(11)
+         )}
+  FROM perhit p LEFT JOIN nrel n USING (qid) GROUP BY p.qid),
+ideal AS (
+  SELECT qid,
+         {", ".join(
+             f"sum(CASE WHEN irank <= {n} "
+             f"THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg_{n}"
+             for n in NDCG_CUTS
+         )}
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+        FROM qrels)
+  WHERE irank <= {max(NDCG_CUTS)} GROUP BY qid),
+perq AS (
+  SELECT q.qid,
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.sum_prec, 0) / n.n_rel ELSE 0.0 END AS map,
+         {", ".join(
+             f'coalesce(a.hits_at_{p}, 0)::DOUBLE / {p} AS "P_{p}"'
+             for p in P_CUTS
+         )},
+         {", ".join(
+             f"CASE WHEN i.idcg_{n} > 0 "
+             f"THEN coalesce(a.dcg_{n}, 0) / i.idcg_{n} ELSE 0.0 END AS ndcg_cut_{n}"
+             for n in NDCG_CUTS
+         )},
+         CASE WHEN a.first_rel IS NOT NULL
+              THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank,
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.rprec_hits, 0)::DOUBLE / n.n_rel
+              ELSE 0.0 END AS rprec,
+         -- pseudo-qrels carry no judged-nonrelevant docs, so every
+         -- retrieved relevant contributes 1 (trec_eval N=0 behavior)
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(a.rel_ret, 0)::DOUBLE / n.n_rel
+              ELSE 0.0 END AS bpref,
+         coalesce(a.num_ret, 0)::DOUBLE AS num_ret,
+         coalesce(n.n_rel, 0)::DOUBLE AS num_rel,
+         coalesce(a.rel_ret, 0)::DOUBLE AS num_rel_ret,
+         {", ".join(
+             f"coalesce(a.ip{lvl}, 0.0) AS ip{lvl}" for lvl in range(11)
+         )}
+  FROM (SELECT DISTINCT qid FROM run) q
+  LEFT JOIN aggq a USING (qid)
+  LEFT JOIN nrel n USING (qid)
+  LEFT JOIN ideal i USING (qid)),
+longf AS (
+  SELECT 'map' AS metric, qid, map AS value FROM perq
+  {" ".join(
+      "UNION ALL SELECT 'P_{p}', qid, {q}P_{p}{q} FROM perq".format(p=p, q=chr(34))
+      for p in P_CUTS
+  )}
+  {" ".join(
+      f"UNION ALL SELECT 'ndcg_cut_{n}', qid, ndcg_cut_{n} FROM perq"
+      for n in NDCG_CUTS
+  )}
+  UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq
+  UNION ALL SELECT 'Rprec', qid, rprec FROM perq
+  UNION ALL SELECT 'bpref', qid, bpref FROM perq
+  UNION ALL SELECT 'num_ret', qid, num_ret FROM perq
+  UNION ALL SELECT 'num_rel', qid, num_rel FROM perq
+  UNION ALL SELECT 'num_rel_ret', qid, num_rel_ret FROM perq
+  {" ".join(
+      f"UNION ALL SELECT 'iprec_at_recall_{lvl / 10:.2f}', qid, ip{lvl} FROM perq"
+      for lvl in range(11)
+  )})
+SELECT metric, qid, round(value, 6) AS value FROM longf
+UNION ALL
+SELECT metric, 'all' AS qid,
+       round(CASE WHEN metric IN ('num_ret', 'num_rel', 'num_rel_ret')
+                  THEN sum(value) ELSE avg(value) END, 6) AS value
+FROM longf GROUP BY metric
+"""
+
+
 def build_oracle_sql() -> dict:
     qterms = _qterms_cte()
     langs_hits = ",\n  ".join(
@@ -1857,113 +2096,74 @@ FROM topk2 WHERE rank <= {TOPK}
 """
     sql["local_rm3_topk"] = sql["bm25_rm3_topk"]
 
-    sql["eval_metrics"] = f"""
-WITH {_BASE},
+    # S14 live-delete/compact: both phases must equal BM25 over the
+    # surviving docs (documents minus the deleted residue class)
+    base_kept = _BASE.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents "
+        f"WHERE doc_id % {LIVE_DELETE_MOD} <> 0)",
+    )
+    sql["live_delete_topk"] = f"""
+WITH {base_kept},
 {qterms},
-{_SCORED},
-{_QRELS},
-run AS (SELECT qid, doc_id, rank FROM topk WHERE rank <= {TOPK}),
-j AS (SELECT r.qid, r.doc_id, r.rank, coalesce(qr.rel, 0) AS rel
-      FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id),
-nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
-perhit AS (
-  SELECT qid, doc_id, rank, rel,
-         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY qid ORDER BY rank) AS hits
-  FROM j),
-aggq AS (
-  SELECT p.qid,
-         sum(CASE WHEN rel > 0 THEN hits::DOUBLE / rank END) AS sum_prec,
-         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
-         {", ".join(
-             f"sum(CASE WHEN rel > 0 AND rank <= {p} THEN 1 ELSE 0 END) AS hits_at_{p}"
-             for p in P_CUTS
-         )},
-         {", ".join(
-             f"sum(CASE WHEN rel > 0 AND rank <= {n} "
-             f"THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg_{n}"
-             for n in NDCG_CUTS
-         )},
-         sum(CASE WHEN rel > 0 AND rank <= n.n_rel THEN 1 ELSE 0 END) AS rprec_hits,
-         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_ret,
-         count(*) AS num_ret,
-         {", ".join(
-             f"max(CASE WHEN rel > 0 AND hits * 10 >= {lvl} * n.n_rel "
-             f"THEN hits::DOUBLE / rank END) AS ip{lvl}"
-             for lvl in range(11)
-         )}
-  FROM perhit p LEFT JOIN nrel n USING (qid) GROUP BY p.qid),
-ideal AS (
-  SELECT qid,
-         {", ".join(
-             f"sum(CASE WHEN irank <= {n} "
-             f"THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg_{n}"
-             for n in NDCG_CUTS
-         )}
-  FROM (SELECT qid, rel,
-               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
-        FROM qrels)
-  WHERE irank <= {max(NDCG_CUTS)} GROUP BY qid),
-perq AS (
-  SELECT q.qid,
-         CASE WHEN coalesce(n.n_rel, 0) > 0
-              THEN coalesce(a.sum_prec, 0) / n.n_rel ELSE 0.0 END AS map,
-         {", ".join(
-             f'coalesce(a.hits_at_{p}, 0)::DOUBLE / {p} AS "P_{p}"'
-             for p in P_CUTS
-         )},
-         {", ".join(
-             f"CASE WHEN i.idcg_{n} > 0 "
-             f"THEN coalesce(a.dcg_{n}, 0) / i.idcg_{n} ELSE 0.0 END AS ndcg_cut_{n}"
-             for n in NDCG_CUTS
-         )},
-         CASE WHEN a.first_rel IS NOT NULL
-              THEN 1.0 / a.first_rel ELSE 0.0 END AS recip_rank,
-         CASE WHEN coalesce(n.n_rel, 0) > 0
-              THEN coalesce(a.rprec_hits, 0)::DOUBLE / n.n_rel
-              ELSE 0.0 END AS rprec,
-         -- pseudo-qrels carry no judged-nonrelevant docs, so every
-         -- retrieved relevant contributes 1 (trec_eval N=0 behavior)
-         CASE WHEN coalesce(n.n_rel, 0) > 0
-              THEN coalesce(a.rel_ret, 0)::DOUBLE / n.n_rel
-              ELSE 0.0 END AS bpref,
-         coalesce(a.num_ret, 0)::DOUBLE AS num_ret,
-         coalesce(n.n_rel, 0)::DOUBLE AS num_rel,
-         coalesce(a.rel_ret, 0)::DOUBLE AS num_rel_ret,
-         {", ".join(
-             f"coalesce(a.ip{lvl}, 0.0) AS ip{lvl}" for lvl in range(11)
-         )}
-  FROM (SELECT DISTINCT qid FROM run) q
-  LEFT JOIN aggq a USING (qid)
-  LEFT JOIN nrel n USING (qid)
-  LEFT JOIN ideal i USING (qid)),
-longf AS (
-  SELECT 'map' AS metric, qid, map AS value FROM perq
-  {" ".join(
-      "UNION ALL SELECT 'P_{p}', qid, {q}P_{p}{q} FROM perq".format(p=p, q=chr(34))
-      for p in P_CUTS
-  )}
-  {" ".join(
-      f"UNION ALL SELECT 'ndcg_cut_{n}', qid, ndcg_cut_{n} FROM perq"
-      for n in NDCG_CUTS
-  )}
-  UNION ALL SELECT 'recip_rank', qid, recip_rank FROM perq
-  UNION ALL SELECT 'Rprec', qid, rprec FROM perq
-  UNION ALL SELECT 'bpref', qid, bpref FROM perq
-  UNION ALL SELECT 'num_ret', qid, num_ret FROM perq
-  UNION ALL SELECT 'num_rel', qid, num_rel FROM perq
-  UNION ALL SELECT 'num_rel_ret', qid, num_rel_ret FROM perq
-  {" ".join(
-      f"UNION ALL SELECT 'iprec_at_recall_{lvl / 10:.2f}', qid, ip{lvl} FROM perq"
-      for lvl in range(11)
-  )})
-SELECT metric, qid, round(value, 6) AS value FROM longf
-UNION ALL
-SELECT metric, 'all' AS qid,
-       round(CASE WHEN metric IN ('num_ret', 'num_rel', 'num_rel_ret')
-                  THEN sum(value) ELSE avg(value) END, 6) AS value
-FROM longf GROUP BY metric
+{_SCORED}
+SELECT ph.phase, qid, doc_id, rank::BIGINT AS rank,
+       round(score, {SCORE_ROUND}) AS score
+FROM topk CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
+WHERE rank <= {TOPK}
 """
+
+    # image features: statistics recomputed from the RAW synthetic pixel
+    # arrays (straight sums / E[x^2]-E[x]^2, no PNG, no _image_feat call)
+    # then quantized through float32 like the engine's stored features —
+    # the PNG encode->decode round-trip is what the comparison verifies
+    import numpy as _np
+
+    from .operators.multimodal import _synth_image_pixels
+
+    img_vals = []
+    for i in range(IMG_PROBE_N):
+        px = _synth_image_pixels(i).astype("float64")
+        h, w = px.shape[:2]
+        flat = px.reshape(-1, 3)
+        npx = float(flat.shape[0])
+        means = [float(flat[:, c].sum()) / npx for c in range(3)]
+        stds = [
+            ((float((flat[:, c] ** 2).sum()) / npx) - means[c] ** 2) ** 0.5
+            for c in range(3)
+        ]
+        gray = float(px.sum()) / (npx * 3.0)
+        vals = [m / 255.0 for m in means] + [s / 255.0 for s in stds] + [
+            gray / 255.0
+        ]
+        vals32 = [float(_np.float32(v)) for v in vals]
+        img_vals.append(
+            f"({i}, {w}, {h}, " + ", ".join(repr(v) for v in vals32) + ")"
+        )
+    sql["image_features"] = f"""
+WITH img(doc_id, width, height, r_mean, g_mean, b_mean,
+         r_std, g_std, b_std, gray_mean) AS (VALUES
+    {",".join(img_vals)})
+SELECT doc_id::BIGINT AS doc_id, width::BIGINT AS width,
+       height::BIGINT AS height,
+       round(r_mean, 4) AS r_mean, round(g_mean, 4) AS g_mean,
+       round(b_mean, 4) AS b_mean, round(r_std, 4) AS r_std,
+       round(g_std, 4) AS g_std, round(b_std, 4) AS b_std,
+       round(gray_mean, 4) AS gray_mean
+FROM img
+"""
+
+    sql["eval_metrics"] = _eval_sql(qterms, P_CUTS, NDCG_CUTS)
+    # F6 hard-topics projection: the same evaluation restricted to the
+    # frozen hard-topic subset BEFORE aggregation (the reference slices
+    # its per-topic result tables to a hard-query list; SURVEY §2 F6)
+    sql["hard_topics_eval"] = _eval_sql(
+        qterms, [10], [10],
+        run_where=" AND qid IN ({})".format(
+            ", ".join(f"'{q}'" for q in HARD_TOPICS)
+        ),
+    )
+
 
     sql["assoc_expand"] = f"""
 WITH {_BASE},
@@ -2195,7 +2395,9 @@ cand AS (
   WHERE NOT EXISTS (SELECT 1 FROM qtd q2
                     WHERE q2.qid = qc.qid AND q2.term = n2.name)
   GROUP BY 1, 2, 3)
-SELECT qid, cui, cand_name, weight, rank::BIGINT AS rank FROM (
+SELECT qid, cui, cand_name,
+       replace(cand_name, ' ', '_') AS concept_key,
+       weight, rank::BIGINT AS rank FROM (
   SELECT qid, cui, cand_name, weight,
          row_number() OVER (PARTITION BY qid
                             ORDER BY weight DESC, cui) AS rank
@@ -2709,6 +2911,10 @@ SPARK_QUERIES = {
     "cosine_topk_lsh": q_cosine_topk_lsh,    # LSH-bucketed (approximate)
     "cosine_topk_ivf": q_cosine_topk_ivf,    # IVF (approximate)
     "cosine_pairs": q_cosine_pairs,
+    # round-3 additions (also never driver-verified -> early)
+    "image_features": q_image_features,
+    "hard_topics_eval": q_hard_topics_eval,
+    "live_delete_topk": q_live_delete_topk,
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,

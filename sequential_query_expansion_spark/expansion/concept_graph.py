@@ -144,11 +144,17 @@ def concept_features(
     ).withColumnRenamed("df", "df_orig")
 
     # --- feedback-doc features: candidate postings ∩ topT docs (J4) ----
+    # persisted: feeds BOTH the per-candidate aggregates and the
+    # feedback-doc co-occurrence counts below; ≤ queries × topT × doclen
+    # rows, so the cache is tiny while the postings scan it saves is not
     cand_in_top = (
         index.postings_flat.withColumnRenamed("term", "cand")
         .join(F.broadcast(cands.select("qid", "cand").distinct()), "cand")
         .join(F.broadcast(topdocs), ["qid", "doc_id"])
+        .persist()
     )
+    if caches is not None:
+        caches.append(cand_in_top)
     top_dl = topdocs.join(index.doc_len, "doc_id").groupBy("qid").agg(
         F.sum("dl").alias("top_dl_sum")
     )
@@ -167,20 +173,31 @@ def concept_features(
     )
 
     # --- co-occurrence features over collection and top docs -----------
-    # one postings pair-join shared by the global and the feedback-doc
-    # counts (persisted: two aggregations consume it)
-    pair_docs = _pair_cooccurrence(index, cands).persist()
-    if caches is not None:
-        caches.append(pair_docs)
-    df_both = pair_docs.groupBy("orig", "cand").agg(
+    # global counts: the postings pair-join has exactly ONE consumer now
+    # (df_both), so it needs no persist
+    df_both = _pair_cooccurrence(index, cands).groupBy("orig", "cand").agg(
         F.count("*").alias("df_both")
     )
-    both_top = (
-        pair_docs.join(
-            F.broadcast(cands.select("qid", "orig", "cand").distinct()),
-            ["orig", "cand"],
-        )
+    # feedback-doc counts: the top-doc set is <= queries × topT docs, so
+    # df_both_top never needs the full pair-join — intersect the orig
+    # terms' postings with the top docs (tiny) and join against
+    # cand_in_top per (qid, doc). Same counts as filtering the pair-join
+    # to top docs (both sides are one row per (term, doc)), one wide
+    # postings consumption fewer per layer.
+    orig_in_top = (
+        index.postings_flat.withColumnRenamed("term", "orig")
+        .join(F.broadcast(cands.select("qid", "orig").distinct()), "orig")
         .join(F.broadcast(topdocs.select("qid", "doc_id")), ["qid", "doc_id"])
+        .select("qid", "orig", "doc_id")
+    )
+    both_top = (
+        cand_in_top.select("qid", "cand", "doc_id")
+        .join(F.broadcast(orig_in_top), ["qid", "doc_id"])
+        .join(
+            F.broadcast(cands.select("qid", "orig", "cand").distinct()),
+            ["qid", "orig", "cand"],
+            "left_semi",
+        )
         .groupBy("qid", "orig", "cand")
         .agg(F.count("*").alias("df_both_top"))
     )

@@ -207,11 +207,14 @@ def video_frame_sample(
 # Deterministic payload synthesis (test fixtures: real encoded bytes)
 # ---------------------------------------------------------------------------
 
-def _synth_image(doc_id: int, w: int = 32, h: int = 24) -> bytes:
+def _synth_image_pixels(doc_id: int, w: int = 32, h: int = 24) -> np.ndarray:
+    """Deterministic RGB pixel array — exposed separately so oracles can
+    recompute features from the RAW pixels, making the PNG encode/decode
+    round-trip part of what a value comparison verifies."""
     rng = np.random.default_rng(doc_id)
     x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
     y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
-    img = np.stack(
+    return np.stack(
         [
             (x + doc_id * 7) % 256 + 0 * y,
             (y + doc_id * 13) % 256 + 0 * x,
@@ -219,7 +222,10 @@ def _synth_image(doc_id: int, w: int = 32, h: int = 24) -> bytes:
         ],
         axis=2,
     ).astype(np.uint8)
-    return media.png_encode(img)
+
+
+def _synth_image(doc_id: int, w: int = 32, h: int = 24) -> bytes:
+    return media.png_encode(_synth_image_pixels(doc_id, w, h))
 
 
 def _synth_audio(doc_id: int, rate: int = 8000) -> bytes:
