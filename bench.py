@@ -321,11 +321,23 @@ def run_scaling() -> None:
     tp_n = results[base]["docs_per_sec"]
     tp_4n = results[base * 4]["docs_per_sec"]
     eff = tp_4n / (4.0 * tp_n)
+    # every adjacent 4x pair, so the artifact carries the whole curve
+    # (BASELINE.md discusses the 8->32 pair explicitly: one socket's
+    # memory bandwidth is shared by all local cores, unlike a real
+    # 4x-executor scale-out which adds 4x memory controllers)
+    pair_eff = {
+        f"{a}->{b}": round(
+            results[b]["docs_per_sec"] / (4.0 * results[a]["docs_per_sec"]),
+            3,
+        )
+        for a, b in zip(levels, levels[1:])
+    }
     line = json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "throughput": {str(c): results[c]["docs_per_sec"] for c in levels},
+        "pair_efficiency": pair_eff,
         "n_docs": results[base].get("n_docs"),
         "sf": _sf_from_dir(SF_DIR),
     })

@@ -105,15 +105,25 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
 
 
 def _bit_lengths(vals: np.ndarray) -> np.ndarray:
-    """Per-value bit length of a uint64 array, vectorized (6 passes)."""
-    bl = np.zeros(len(vals), dtype=np.int64)
-    v = vals.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        m = v >= np.uint64(1) << np.uint64(shift)
-        bl[m] += shift
-        v[m] >>= np.uint64(shift)
-    bl += (v > 0).astype(np.int64)
-    return bl
+    """Per-value bit length of a uint64 array.
+
+    Fast path: ``np.frexp`` exponents — exact for values < 2^53 (every
+    float64 conversion is exact there), one vector op instead of the
+    6-pass shift cascade. Values >= 2^53 (never real doc-gaps, but the
+    codec must stay correct for ANY uint64 — hypothesis round-trips) fall
+    back to the shift cascade, where float rounding could otherwise
+    overstate the exponent near powers of two."""
+    big = vals >= np.uint64(1) << np.uint64(53)
+    if big.any():
+        bl = np.zeros(len(vals), dtype=np.int64)
+        v = vals.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >= np.uint64(1) << np.uint64(shift)
+            bl[m] += shift
+            v[m] >>= np.uint64(shift)
+        bl += (v > 0).astype(np.int64)
+        return bl
+    return np.frexp(vals.astype(np.float64))[1].astype(np.int64)
 
 
 def _pack_bits(vals: np.ndarray, b: int) -> bytes:
@@ -137,15 +147,21 @@ def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
     )
 
 
+_WIDTHS = np.arange(65, dtype=np.int64)
+# precomputed per-(width b, bit length l) exception cost in bytes:
+# ceil((l-b)/7) high-bit bytes + 1 position byte when l > b
+_OVER = np.maximum(_WIDTHS[None, :] - _WIDTHS[:, None], 0)  # [b, l] = l-b
+_EXC_COST = (-(-_OVER // 7) + (_OVER > 0)).astype(np.int64)
+
+
 def _choose_width(bit_lens: np.ndarray) -> int:
-    """Width minimizing packed bytes + exception bytes, in one 65×65
-    matrix op (exceptions cost ~1 position byte + ceil((bl-b)/7)
-    high-bit bytes each)."""
+    """Width minimizing packed bytes + exception bytes. The search runs
+    over the 65-bin HISTOGRAM of bit lengths (one matvec against the
+    precomputed (b, l) exception-cost table), not the value vector —
+    O(65²) regardless of block size."""
     n = len(bit_lens)
-    bs = np.arange(65, dtype=np.int64)
-    over = np.maximum(bit_lens[None, :] - bs[:, None], 0)  # (b, value)
-    exc_bytes = (-(-over // 7) + (over > 0)).sum(axis=1)   # high bytes + 1 pos byte
-    cost = (n * bs + 7) // 8 + exc_bytes
+    hist = np.bincount(bit_lens, minlength=65)
+    cost = (n * _WIDTHS + 7) // 8 + _EXC_COST @ hist
     return int(cost.argmin())
 
 
@@ -168,14 +184,22 @@ def pfor_encode(values: np.ndarray) -> bytes:
         low = a & mask
         exc_idx = np.flatnonzero(bl > b)
     packed = _pack_bits(low, b)
-    pos_b = varint_encode(delta_encode(exc_idx)) if len(exc_idx) else b""
-    high_b = (
-        varint_encode(a[exc_idx] >> np.uint64(b)) if len(exc_idx) else b""
-    )
-    return (
-        struct.pack("<BII", b, len(exc_idx), len(pos_b))
-        + packed + pos_b + high_b
-    )
+    if len(exc_idx):
+        # ONE varint pass over [position-deltas..., high-bits...]: the
+        # two streams are adjacent in the buffer, so encoding their
+        # concatenation yields byte-identical output to two separate
+        # calls; the header's pos_len (the split point old readers use)
+        # is recovered from the n_exc-th terminator byte.
+        tail_vals = np.concatenate(
+            [delta_encode(exc_idx), a[exc_idx] >> np.uint64(b)]
+        )
+        tail = varint_encode(tail_vals)
+        tail_arr = np.frombuffer(tail, dtype=np.uint8)
+        ends = np.flatnonzero((tail_arr & 0x80) == 0)
+        pos_len = int(ends[len(exc_idx) - 1]) + 1
+    else:
+        tail, pos_len = b"", 0
+    return struct.pack("<BII", b, len(exc_idx), pos_len) + packed + tail
 
 
 def pfor_decode(buf: bytes, count: int) -> np.ndarray:
