@@ -77,12 +77,19 @@ def candidate_edges(
         ["qid", "cand"],
         "left_anti",
     )
-    w = Window.partitionBy("qid", "cand")
+    # ONE aggregation instead of window+distinct: n_links counts edge
+    # rows (multiplicity, the reference's l.count(x)); the exploded
+    # orig-set reproduces the distinct (qid, orig, cand) rows
     return (
-        cands.withColumn("n_links", F.count("*").over(w))
+        cands.groupBy("qid", "cand")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.collect_set("orig").alias("origs"),
+        )
         .filter(F.col("n_links") > count_lim)
-        .select("qid", "orig", "cand", "n_links")
-        .distinct()
+        .select(
+            "qid", F.explode("origs").alias("orig"), "cand", "n_links"
+        )
     )
 
 
@@ -126,7 +133,10 @@ def concept_features(
 
     # persisted: the feedback-doc set feeds THREE consumers (candidate
     # postings intersection, top-doc length sum, orig-term intersection)
-    # — without the persist each one re-runs the whole BM25 scoring join
+    # — without the persist each one re-runs the whole BM25 scoring join.
+    # (Driver-literal materialization was tried and measured NOT faster:
+    # the two extra blocking collect round-trips cost what the broadcast
+    # subtree re-reads save, since both sides read the cache.)
     topdocs = score_topk(
         index, query_terms, k=top_t, rank_round=rank_round, with_url=False
     ).select("qid", "doc_id", "score").persist()
@@ -136,9 +146,16 @@ def concept_features(
         caches += [topdocs, cands]
 
     vocab = index.vocab.select("term", "df")
+    # one pass over vocab serves cand df, orig df AND conIdf (they were
+    # three separate joins; each broadcast is a serial sub-job at test
+    # scale and a vocab scan at web scale)
     cand_df = cands.select("cand").distinct().join(
         vocab.withColumnRenamed("term", "cand"), "cand"
-    )
+    ).withColumn(
+        "conIdf", F.log(F.lit(n_docs) / F.col("df"))
+    ).persist()
+    if caches is not None:
+        caches.append(cand_df)
     orig_df = cands.select("orig").distinct().join(
         vocab.withColumnRenamed("term", "orig"), "orig"
     ).withColumnRenamed("df", "df_orig")
@@ -203,7 +220,7 @@ def concept_features(
     )
 
     pair = (
-        cands.join(F.broadcast(cand_df), "cand")
+        cands.join(F.broadcast(cand_df.select("cand", "df")), "cand")
         .join(F.broadcast(orig_df), "orig")
         .join(df_both, ["orig", "cand"], "left")
         .join(both_top, ["qid", "orig", "cand"], "left")
@@ -243,9 +260,7 @@ def concept_features(
         F.max("topColPCor").alias("maxTopColPCor"),
     )
 
-    con_idf = cand_df.withColumn(
-        "conIdf", F.log(F.lit(n_docs) / F.col("df"))
-    ).select("cand", "conIdf")
+    con_idf = cand_df.select("cand", "conIdf")
 
     out = (
         cands.select("qid", "cand")
@@ -382,26 +397,32 @@ def expanded_topk(
     exp = sequential_expand(
         index, query_terms, graph_edges, rank_round=rank_round, **kwargs
     )
-    w_tot = Window.partitionBy("qid")
-    orig = exp.filter(F.col("layer") == 0)
-    rest = exp.filter(F.col("layer") > 0)
-    mixed = (
-        orig.withColumn(
-            "weight",
-            F.lit(orig_weight) * F.col("weight") / F.sum("weight").over(w_tot),
-        )
-        .unionByName(
-            rest.withColumn(
-                "weight",
-                F.when(
-                    F.sum("weight").over(w_tot) > 0,
-                    F.lit(1.0 - orig_weight)
-                    * F.col("weight")
-                    / F.sum("weight").over(w_tot),
-                ).otherwise(0.0),
-            )
-        )
-        .groupBy("qid", "term")
-        .agg(F.sum("weight").alias("weight"))
+    # The expansion table is <= queries x (|q| + Σ per_layer_terms) rows
+    # and its layers were already materialized driver-side by
+    # sequential_expand's lineage cuts — normalize/interpolate in the
+    # driver and feed ONE scoring join, instead of two window passes +
+    # union + re-aggregation over a 100-row DataFrame (4 exchanges of
+    # pure stage latency at any scale; the scoring join is unchanged).
+    rows = exp.collect()
+    orig_tot: dict = {}
+    rest_tot: dict = {}
+    for r in rows:
+        if r["layer"] == 0:
+            orig_tot[r["qid"]] = orig_tot.get(r["qid"], 0.0) + r["weight"]
+        else:
+            rest_tot[r["qid"]] = rest_tot.get(r["qid"], 0.0) + r["weight"]
+    mixed: dict = {}
+    for r in rows:
+        if r["layer"] == 0:
+            w = orig_weight * r["weight"] / orig_tot[r["qid"]]
+        elif rest_tot.get(r["qid"], 0.0) > 0:
+            w = (1.0 - orig_weight) * r["weight"] / rest_tot[r["qid"]]
+        else:
+            w = 0.0
+        key = (r["qid"], r["term"])
+        mixed[key] = mixed.get(key, 0.0) + w
+    mixed_df = exp.sparkSession.createDataFrame(
+        [(q, t, w) for (q, t), w in sorted(mixed.items())],
+        "qid string, term string, weight double",
     )
-    return score_topk(index, mixed, k=k, rank_round=rank_round)
+    return score_topk(index, mixed_df, k=k, rank_round=rank_round)
