@@ -15,6 +15,10 @@ layout), as DataFrame one-liners:
   ef <file>        matching doc names for every line  (cpp :94-130)
   efb <file>       brief form: lines are `expr:doc1,doc2,...`; prints
                    `expr:n,names-in-given-list,:orig` (cpp :49-92)
+  sCnet <file>     stem the 2nd/3rd comma fields of each line through
+                   the rule stemmer (the reference calls a licensed
+                   REST stemmer here; the local cascade stands in)
+                                                      (cpp :211-243)
   dcf <doc_id>     document length                    (cpp :125-150)
   dn <doc_id>      doc id -> external name            (cpp :525-536)
   di <url>         external name -> doc id            (cpp :538-549)
@@ -101,6 +105,27 @@ def main(argv=None) -> int:
         print(__doc__)
         return 2
     index_dir, cmd, *args = argv
+
+    if cmd == "sCnet":
+        # `key,phrase a,phrase b` per line -> `key,stems a,stems b,`
+        # (print_expression_cnet_stem, occuranceCount.cpp:211-243;
+        # r.processTerm == the engine's rule stemmer here). Pure text
+        # processing — needs neither the index nor a Spark session.
+        from .functions.text import stem_py
+
+        with open(args[0]) as f:
+            for raw in f:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                parts = raw.split(",")
+                out = [parts[0]] + [
+                    " ".join(stem_py(w) for w in p.split() if w) + " "
+                    for p in parts[1:3]
+                ]
+                print(",".join(out) + ",")
+        return 0
+
     spark = get_spark("sqe-cli")
 
     if cmd == "del":

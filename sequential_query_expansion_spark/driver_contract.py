@@ -16,6 +16,7 @@ a hash (SURVEY §7 hard part iii).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1181,6 +1182,36 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VID_PROBE_N = 8                # synthetic MPNG probes (doc_id 0..N-1)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path end-to-end, value-oracled: deterministic
+    synthetic frame stacks go through the seekable MPNG container
+    (encode, then offset-table seek + per-frame PNG decode of ONLY the
+    sampled frames inside mapInPandas), reduced to per-frame channel
+    statistics. The oracle re-derives the sampling schedule and the
+    statistics from the RAW frame arrays — no container, no PNG — so
+    a demux/seek/decode corruption surfaces as a value mismatch."""
+    from .operators import multimodal as mm
+
+    docs = load_documents(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < VID_PROBE_N
+    )
+    out = mm.video_frame_sample(
+        mm.synthesize_video_table(docs), every_s=1.0, max_frames=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("ts_s").cast("double"), 2).alias("ts_s"),
+        F.round(F.element_at("frame_feat", 1).cast("double"), 4).alias("r_mean"),
+        F.round(F.element_at("frame_feat", 2).cast("double"), 4).alias("g_mean"),
+        F.round(F.element_at("frame_feat", 3).cast("double"), 4).alias("b_mean"),
+        F.round(F.element_at("frame_feat", 4).cast("double"), 4).alias("gray_std"),
+    )
+
+
 def q_conceptnet_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 ConceptNet CSV scan with the F3 printable-ASCII gate and the
     two-way adjacency insert (optParams/...coordAsc.ipynb:277-295)."""
@@ -1577,6 +1608,83 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_embeddings(spark, sf_dir), COS_PAIR_THRESHOLD
     )
     return out.select("doc_a", "doc_b", F.round("cos", 5).alias("cos"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the declared 100 TB scale path for
+    `cosine_pairs` (same-bucket equi-join candidates, exact-cosine
+    verify; no cross join anywhere). md5-parity ±1 planes make the
+    bucketing recomputable in the DuckDB oracle, so the candidate set
+    AND the verified values hash-match."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = similarity.hyperplanes_md5pm1(EMB_DIM, LSH_N_PLANES)
+    out = similarity.embedding_near_dup(
+        emb, threshold=COS_PAIR_THRESHOLD,
+        planes=planes, score_round=RANK_ROUND,
+    )
+    return out.select("doc_a", "doc_b", F.round("cos", 5).alias("cos"))
+
+
+STREAM_TS0 = 1704067200          # 2024-01-01T00:00:00Z, deterministic
+
+
+def q_streaming_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming path end-to-end, value-oracled: documents
+    become crawl pages (url/warc_ts/html/text/lang per BASELINE.json's
+    input hint), flow through the watermarked-dedup + quality-gate
+    readStream and the applyInPandasWithState per-host running-counters
+    operator (availableNow), and the FINAL running totals per host are
+    returned. The oracle recomputes the gates and per-host totals from
+    `documents` directly, so state handling across micro-batches is what
+    the value comparison verifies. URLs are unique by construction, so
+    the watermark dedup must be an exact no-op (any false-positive drop
+    shows up as a count mismatch)."""
+    import tempfile
+
+    from .streaming import pipeline as sp
+
+    docs = load_documents(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(STREAM_TS0) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    work = tempfile.mkdtemp(prefix="sqe_stream_")
+    in_dir = os.path.join(work, "pages")
+    out_dir = os.path.join(work, "out")
+    pages.write.mode("overwrite").parquet(in_dir)
+    q = sp.start_host_stats(spark, in_dir, out_dir, available_now=True)
+    q.awaitTermination()
+    sink = spark.read.parquet(os.path.join(out_dir, "host_stats"))
+    # running totals append once per (host, micro-batch); the final row
+    # per host is the one with the largest n_pages (strictly increasing)
+    w = Window.partitionBy("host").orderBy(F.desc("n_pages"))
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "host",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.round("mean_tokens", 6).alias("mean_tokens"),
+        )
+    )
+    # lineage cut: a handful of host rows; the sink tmp dir need not
+    # outlive this call
+    rows = final.collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "host string, n_pages long, n_kept long, mean_tokens double"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2151,6 +2259,50 @@ SELECT doc_id::BIGINT AS doc_id, width::BIGINT AS width,
        round(g_std, 4) AS g_std, round(b_std, 4) AS b_std,
        round(gray_mean, 4) AS gray_mean
 FROM img
+"""
+
+    # video frames: sampling schedule + per-frame stats re-derived from
+    # the RAW synthetic frames (fps=4, every_s=1.0, max 8 frames) — the
+    # MPNG seek/decode round-trip is what the comparison verifies
+    from .operators.multimodal import _synth_video_frames
+
+    vid_vals = []
+    for i in range(VID_PROBE_N):
+        frames = _synth_video_frames(i)
+        n, fps = len(frames), 4
+        picked, seen, t = [], set(), 0.0
+        while len(picked) < 8:
+            fi = int(round(t * fps))
+            if fi >= n:
+                break
+            if fi not in seen:
+                seen.add(fi)
+                picked.append((fi, t))
+            t += 1.0
+        for fi, ts in picked:
+            px = frames[fi].astype("float64")
+            flat = px.reshape(-1, 3)
+            npx = float(flat.shape[0])
+            means = [float(flat[:, c].sum()) / npx / 255.0 for c in range(3)]
+            gray = px.mean(axis=2)
+            gstd = (
+                (float((gray ** 2).sum()) / gray.size
+                 - (float(gray.sum()) / gray.size) ** 2) ** 0.5 / 255.0
+            )
+            vals32 = [float(_np.float32(v)) for v in means + [gstd]]
+            vid_vals.append(
+                f"({i}, {fi}, {float(_np.float32(ts))!r}, "
+                + ", ".join(repr(v) for v in vals32) + ")"
+            )
+    sql["video_frames"] = f"""
+WITH vid(doc_id, frame_idx, ts_s, r_mean, g_mean, b_mean, gray_std)
+AS (VALUES
+    {",".join(vid_vals)})
+SELECT doc_id::BIGINT AS doc_id, frame_idx::BIGINT AS frame_idx,
+       round(ts_s, 2) AS ts_s,
+       round(r_mean, 4) AS r_mean, round(g_mean, 4) AS g_mean,
+       round(b_mean, 4) AS b_mean, round(gray_std, 4) AS gray_std
+FROM vid
 """
 
     sql["eval_metrics"] = _eval_sql(qterms, P_CUTS, NDCG_CUTS)
@@ -2879,6 +3031,54 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COS_PAIR_THRESHOLD}
 """
 
+    # near-dup scale path: same md5-parity bucketing as cosine_topk_lsh,
+    # candidates = same-bucket pairs, verify = exact cosine >= threshold
+    sql["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT j.j, d.d,
+         CASE WHEN ('0x' || substring(md5(j.j::VARCHAR || ':' || d.d::VARCHAR), 1, 1))::INT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM generate_series(0, {LSH_N_PLANES - 1}) AS j(j),
+       generate_series(0, {EMB_DIM - 1}) AS d(d)),
+sgn AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN round(sum(e.v[p.d + 1] * p.w), {RANK_ROUND}) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e, pl p GROUP BY e.vec_id, p.j),
+bkt AS (
+  SELECT vec_id, sum(bit * (1::BIGINT << j))::BIGINT AS bucket
+  FROM sgn GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+ver AS (
+  SELECT c.doc_a, c.doc_b, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.doc_a
+              JOIN e eb ON eb.vec_id = c.doc_b)
+SELECT doc_a, doc_b, round(cos, 5) AS cos
+FROM ver WHERE cos >= {COS_PAIR_THRESHOLD}
+"""
+
+    # streaming host stats: the state-machine's final running totals must
+    # equal a plain batch aggregate over the same pages (URLs unique ->
+    # watermark dedup is a no-op; gates are the quality_score exprs)
+    sql["streaming_host_stats"] = f"""
+WITH {_BASE},
+g AS (
+  SELECT d.source, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains(['{_SW}'], t)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents d JOIN doctoks USING (doc_id))
+SELECT source || '.example.org' AS host,
+       count(*)::BIGINT AS n_pages,
+       sum(CASE WHEN n_tokens >= 10 AND stopword_ratio <= 0.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(n_tokens)::DOUBLE / count(*), 6) AS mean_tokens
+FROM g GROUP BY source
+"""
+
     return {name: _materialize_ctes(body) for name, body in sql.items()}
 
 
@@ -2913,6 +3113,9 @@ SPARK_QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     # round-3 additions (also never driver-verified -> early)
     "image_features": q_image_features,
+    "video_frames": q_video_frames,
+    "embedding_near_dup": q_embedding_near_dup,
+    "streaming_host_stats": q_streaming_host_stats,
     "hard_topics_eval": q_hard_topics_eval,
     "live_delete_topk": q_live_delete_topk,
     "collection_stats": q_collection_stats,

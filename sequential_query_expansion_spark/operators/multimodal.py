@@ -238,14 +238,21 @@ def _synth_audio(doc_id: int, rate: int = 8000) -> bytes:
     return media.wav_encode((sig * 20000).astype(np.int16), rate)
 
 
-def _synth_video(doc_id: int, w: int = 16, h: int = 12, fps: int = 4) -> bytes:
+def _synth_video_frames(doc_id: int, w: int = 16, h: int = 12) -> list:
+    """Deterministic raw RGB frames — exposed separately so oracles can
+    recompute per-frame features from the RAW pixels, making the MPNG
+    container round-trip part of what a value comparison verifies."""
     n = 3 + doc_id % 4
     frames = []
     for fi in range(n):
         base = np.full((h, w, 3), (40 * fi + doc_id * 11) % 256, dtype=np.uint8)
         base[:, : (fi + 1) * w // (n + 1), 0] = 255
         frames.append(base)
-    return media.mpng_encode(frames, fps)
+    return frames
+
+
+def _synth_video(doc_id: int, w: int = 16, h: int = 12, fps: int = 4) -> bytes:
+    return media.mpng_encode(_synth_video_frames(doc_id, w, h), fps)
 
 
 def synthesize_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

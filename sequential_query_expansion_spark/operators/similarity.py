@@ -332,18 +332,24 @@ def embedding_near_dup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    score_round: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via same-bucket candidate generation.
 
     High-cosine pairs agree on most hyperplane signs → same bucket with
-    high probability; candidate verification is exact cosine.
+    high probability; candidate verification is exact cosine. Pass
+    ``planes`` (e.g. ``hyperplanes_md5pm1``) + ``score_round`` for a
+    bucketing that a cross-engine SQL oracle can recompute bit-for-bit.
     """
-    dim = len(embeddings.select(vec_col).head()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    if planes is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+        planes = hyperplanes(dim, n_planes, seed)
     base = with_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
         planes,
         "vec",
+        score_round=score_round,
     )
     a = base.select(
         F.col("vec_id").alias("doc_a"), F.col("vec").alias("vec_a"), "bucket"

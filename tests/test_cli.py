@@ -184,6 +184,35 @@ def test_merge_refuses_tombstoned_input(spark, tmp_path_factory):
         mt.merge_indexes(spark, out, [a])
 
 
+def test_scnet_stems_phrase_fields(capsys, tmp_path):
+    from sequential_query_expansion_spark.functions.text import stem_py
+
+    f = tmp_path / "cnet.txt"
+    f.write_text(
+        "C001,related concepts here,wildlife poaching activities\n"
+        "\n"  # blank lines skipped
+        "C002,running dogs,jumped fences\n"
+    )
+    # sCnet needs neither the index nor Spark -> any index_dir string works
+    rc = cli.main(["/nonexistent", "sCnet", str(f)])
+    assert rc == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 2
+    for ln, (key, p1, p2) in zip(
+        lines,
+        [
+            ("C001", "related concepts here", "wildlife poaching activities"),
+            ("C002", "running dogs", "jumped fences"),
+        ],
+    ):
+        want = ",".join(
+            [key]
+            + [" ".join(stem_py(w) for w in p.split()) + " " for p in (p1, p2)]
+        ) + ","
+        assert ln == want
+        assert ln.startswith(key + ",")
+
+
 # --- kernel-level properties -------------------------------------------
 
 
