@@ -35,6 +35,8 @@ is what the downstream contract (normalize→combine→select) needs.
 
 from __future__ import annotations
 
+import math
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List
 
 from pyspark.sql import DataFrame, Window
@@ -93,24 +95,6 @@ def candidate_edges(
     )
 
 
-def _pair_cooccurrence(index: IndexTables, pairs: DataFrame) -> DataFrame:
-    """(orig, cand, doc_id) for (orig, cand) term pairs: one row per doc
-    containing both. ONE pass over the postings feeds both df_both
-    (global co-occurrence) and df_both_top (feedback-doc co-occurrence)
-    — at web scale the postings scans dominate, so the two downstream
-    counts must share this join. pairs is tiny (queries × edges) →
-    broadcast against the postings of the orig terms; only
-    candidate-term postings shuffle."""
-    p = pairs.select("orig", "cand").distinct()
-    po = index.postings_flat.select(
-        F.col("term").alias("orig"), "doc_id"
-    ).join(F.broadcast(p.select("orig").distinct()), "orig")
-    pc = index.postings_flat.select(
-        F.col("term").alias("cand"), "doc_id"
-    ).join(F.broadcast(p.select("cand").distinct()), "cand")
-    return po.join(F.broadcast(p), "orig").join(pc, ["cand", "doc_id"])
-
-
 def concept_features(
     index: IndexTables,
     query_terms: DataFrame,
@@ -128,72 +112,104 @@ def concept_features(
     so the caller can unpersist them once the output is materialized —
     the layered loop would otherwise accumulate per-layer cached
     partitions across iterations (executor memory at scale).
-    """
+
+    The three per-layer driver sets — feedback docs, candidate edges,
+    per-term df — are bounded by queries × top_t / queries × edges and
+    do NOT grow with the corpus, so they are materialized driver-side
+    once: every consumer below then broadcasts a LocalTableScan instead
+    of re-reading a persisted subtree through its own broadcast-exchange
+    sub-job (~12 such sites; their scheduling latency dominated this
+    pass's wall-clock at every tested scale). All postings consumers
+    share ONE term-pruned scan (`pf_sub`) — at web scale that filter is
+    the bucket/partition prune, and it is the only big-table read here
+    besides the feedback BM25 pass."""
     n_docs = float(index.n_docs)
+    spark = query_terms.sparkSession
 
-    # persisted: the feedback-doc set feeds THREE consumers (candidate
-    # postings intersection, top-doc length sum, orig-term intersection)
-    # — without the persist each one re-runs the whole BM25 scoring join.
-    # (Driver-literal materialization was tried and measured NOT faster:
-    # the two extra blocking collect round-trips cost what the broadcast
-    # subtree re-reads save, since both sides read the cache.)
-    topdocs = score_topk(
-        index, query_terms, k=top_t, rank_round=rank_round, with_url=False
-    ).select("qid", "doc_id", "score").persist()
+    # the feedback pass and the candidate generation are independent →
+    # overlap their blocking collects (Spark schedules concurrent jobs
+    # from separate threads; both results are tiny)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_top = pool.submit(
+            lambda: score_topk(
+                index, query_terms, k=top_t, rank_round=rank_round,
+                with_url=False,
+            )
+            .join(index.doc_len, "doc_id")
+            .select("qid", "doc_id", "score", "dl")
+            .collect()
+        )
+        fut_cand = pool.submit(
+            lambda: candidate_edges(
+                query_terms, graph_edges, count_lim
+            ).collect()
+        )
+        topdoc_rows = fut_top.result()
+        cand_rows = fut_cand.result()
+    topdocs = spark.createDataFrame(
+        [(r["qid"], r["doc_id"], r["score"]) for r in topdoc_rows],
+        "qid string, doc_id long, score double",
+    )
+    top_dl_sum: Dict[str, int] = {}
+    for r in topdoc_rows:
+        top_dl_sum[r["qid"]] = top_dl_sum.get(r["qid"], 0) + r["dl"]
+    cands = spark.createDataFrame(
+        cand_rows, "qid string, orig string, cand string, n_links long"
+    )
+    term_set = sorted(
+        {r["cand"] for r in cand_rows} | {r["orig"] for r in cand_rows}
+    )
+    if not term_set:
+        return spark.createDataFrame(
+            [],
+            "qid string, cand string, "
+            + ", ".join(f"{f} double" for f in FEATURES),
+        )
 
-    cands = candidate_edges(query_terms, graph_edges, count_lim).persist()
+    pf_sub = (
+        index.postings_flat.filter(F.col("term").isin(term_set))
+        .select("term", "doc_id", "tf")
+        .persist()
+    )
     if caches is not None:
-        caches += [topdocs, cands]
-
-    vocab = index.vocab.select("term", "df")
-    # one pass over vocab serves cand df, orig df AND conIdf (they were
-    # three separate joins; each broadcast is a serial sub-job at test
-    # scale and a vocab scan at web scale)
-    cand_df = cands.select("cand").distinct().join(
-        vocab.withColumnRenamed("term", "cand"), "cand"
-    ).withColumn(
-        "conIdf", F.log(F.lit(n_docs) / F.col("df"))
-    ).persist()
-    if caches is not None:
-        caches.append(cand_df)
-    orig_df = cands.select("orig").distinct().join(
-        vocab.withColumnRenamed("term", "orig"), "orig"
-    ).withColumnRenamed("df", "df_orig")
-
+        caches.append(pf_sub)
+    # per-term df over pf_sub == vocab.df (one postings row per
+    # (term, doc)); collected concurrently with the three feature
+    # aggregates below
+    tdf_agg = pf_sub.groupBy("term").agg(F.count("*").alias("df"))
     # --- feedback-doc features: candidate postings ∩ topT docs (J4) ----
     # persisted: feeds BOTH the per-candidate aggregates and the
     # feedback-doc co-occurrence counts below; ≤ queries × topT × doclen
     # rows, so the cache is tiny while the postings scan it saves is not
     cand_in_top = (
-        index.postings_flat.withColumnRenamed("term", "cand")
+        pf_sub.withColumnRenamed("term", "cand")
         .join(F.broadcast(cands.select("qid", "cand").distinct()), "cand")
         .join(F.broadcast(topdocs), ["qid", "doc_id"])
         .persist()
     )
     if caches is not None:
         caches.append(cand_in_top)
-    top_dl = topdocs.join(index.doc_len, "doc_id").groupBy("qid").agg(
-        F.sum("dl").alias("top_dl_sum")
-    )
-    fb_feats = (
-        cand_in_top.groupBy("qid", "cand")
-        .agg(
-            F.sum("score").alias("expTDocScore"),
-            F.sum("tf").alias("tf_top"),
-            F.count("*").alias("numCanDocs"),
-            F.avg("score").alias("avgCDocScore"),
-            F.max("score").alias("maxCDocScore"),
-        )
-        .join(F.broadcast(top_dl), "qid")
-        .withColumn("topTermFrac", F.col("tf_top") / F.col("top_dl_sum"))
-        .drop("tf_top", "top_dl_sum")
+    fb_agg = cand_in_top.groupBy("qid", "cand").agg(
+        F.sum("score").alias("expTDocScore"),
+        F.sum("tf").alias("tf_top"),
+        F.count("*").alias("numCanDocs"),
+        F.avg("score").alias("avgCDocScore"),
+        F.max("score").alias("maxCDocScore"),
     )
 
     # --- co-occurrence features over collection and top docs -----------
-    # global counts: the postings pair-join has exactly ONE consumer now
-    # (df_both), so it needs no persist
-    df_both = _pair_cooccurrence(index, cands).groupBy("orig", "cand").agg(
-        F.count("*").alias("df_both")
+    # global counts: (orig, cand, doc) rows for docs containing both —
+    # both sides read the shared pf_sub cache, pair list is local
+    p = cands.select("orig", "cand").distinct()
+    po = pf_sub.select(F.col("term").alias("orig"), "doc_id").join(
+        F.broadcast(p.select("orig").distinct()), "orig"
+    )
+    pc = pf_sub.select(F.col("term").alias("cand"), "doc_id")
+    df_both = (
+        po.join(F.broadcast(p), "orig")
+        .join(pc, ["cand", "doc_id"])
+        .groupBy("orig", "cand")
+        .agg(F.count("*").alias("df_both"))
     )
     # feedback-doc counts: the top-doc set is <= queries × topT docs, so
     # df_both_top never needs the full pair-join — intersect the orig
@@ -202,79 +218,91 @@ def concept_features(
     # to top docs (both sides are one row per (term, doc)), one wide
     # postings consumption fewer per layer.
     orig_in_top = (
-        index.postings_flat.withColumnRenamed("term", "orig")
+        pf_sub.withColumnRenamed("term", "orig")
         .join(F.broadcast(cands.select("qid", "orig").distinct()), "orig")
         .join(F.broadcast(topdocs.select("qid", "doc_id")), ["qid", "doc_id"])
         .select("qid", "orig", "doc_id")
     )
+    # no semi-join against the cands edge list here: the driver-side
+    # assembly below only ever looks up (qid, orig, cand) keys that ARE
+    # edges, so extra co-occurring groups are simply never read
     both_top = (
         cand_in_top.select("qid", "cand", "doc_id")
         .join(F.broadcast(orig_in_top), ["qid", "doc_id"])
-        .join(
-            F.broadcast(cands.select("qid", "orig", "cand").distinct()),
-            ["qid", "orig", "cand"],
-            "left_semi",
-        )
         .groupBy("qid", "orig", "cand")
         .agg(F.count("*").alias("df_both_top"))
     )
 
-    pair = (
-        cands.join(F.broadcast(cand_df.select("cand", "df")), "cand")
-        .join(F.broadcast(orig_df), "orig")
-        .join(df_both, ["orig", "cand"], "left")
-        .join(both_top, ["qid", "orig", "cand"], "left")
-        .fillna({"df_both": 0, "df_both_top": 0})
-        .withColumn(
-            "colCor",
-            F.col("df_both") / F.sqrt(F.col("df_orig") * F.col("df")),
-        )
-        .withColumn("topColCor", F.col("df_both_top") / F.lit(float(top_t)))
-        .withColumn(
-            "colPCor",
-            F.abs(
-                F.log(
-                    (F.lit(n_docs) * F.col("df_both") + 0.5)
-                    / (F.col("df_orig") * F.col("df") + 0.5)
-                )
-            ),
-        )
-        .withColumn(
-            "topColPCor",
-            F.abs(
-                F.log(
-                    (F.lit(float(top_t)) * F.col("df_both_top") + 0.5)
-                    / (F.col("df_both") + 0.5)
-                )
-            ),
-        )
-    )
-    cooc = pair.groupBy("qid", "cand").agg(
-        F.avg("colCor").alias("avgColCor"),
-        F.max("colCor").alias("maxColCor"),
-        F.avg("topColCor").alias("avgTopColCor"),
-        F.max("topColCor").alias("maxTopColCor"),
-        F.avg("colPCor").alias("avgColPCor"),
-        F.max("colPCor").alias("maxColPCor"),
-        F.avg("topColPCor").alias("avgTopColPCor"),
-        F.max("topColPCor").alias("maxTopColPCor"),
-    )
+    # The three aggregates are independent and each returns <= pairs
+    # rows → collect them concurrently, then assemble the 14-feature
+    # table driver-side. This is weightRelConcept's own shape (the
+    # reference assembles features in python dicts, :767-891): the
+    # distributed work is the postings intersections above; the
+    # arithmetic below is O(queries × candidates) and scale-free.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_tdf = pool.submit(tdf_agg.collect)
+        fut_fb = pool.submit(fb_agg.collect)
+        fut_db = pool.submit(df_both.collect)
+        fut_bt = pool.submit(both_top.collect)
+        tdf = {r["term"]: r["df"] for r in fut_tdf.result()}
+        fb = {(r["qid"], r["cand"]): r for r in fut_fb.result()}
+        db = {(r["orig"], r["cand"]): r["df_both"] for r in fut_db.result()}
+        bt = {
+            (r["qid"], r["orig"], r["cand"]): r["df_both_top"]
+            for r in fut_bt.result()
+        }
 
-    con_idf = cand_df.select("cand", "conIdf")
+    # per-(qid, orig, cand) co-occurrence correlations, then avg/max per
+    # (qid, cand) — orig terms absent from the vocabulary drop out of
+    # the denominators exactly as the former inner vocab join did
+    pair_lists: Dict[tuple, list] = {}
+    for r in sorted(
+        cand_rows, key=lambda r: (r["qid"], r["cand"], r["orig"])
+    ):
+        q, o, c = r["qid"], r["orig"], r["cand"]
+        if o not in tdf or c not in tdf:
+            continue
+        dfo, dfc = tdf[o], tdf[c]
+        dbv = db.get((o, c), 0)
+        btv = bt.get((q, o, c), 0)
+        pair_lists.setdefault((q, c), []).append((
+            dbv / math.sqrt(dfo * dfc),
+            btv / float(top_t),
+            abs(math.log((n_docs * dbv + 0.5) / (dfo * dfc + 0.5))),
+            abs(math.log((float(top_t) * btv + 0.5) / (dbv + 0.5))),
+        ))
 
-    out = (
-        cands.select("qid", "cand")
-        .distinct()
-        .join(fb_feats, ["qid", "cand"], "left")
-        .join(cooc, ["qid", "cand"], "left")
-        .join(F.broadcast(con_idf), "cand", "left")
-    )
-    # NaN→0 + abs, the reference's final cleanup (:891)
-    for f in FEATURES:
-        out = out.withColumn(
-            f, F.abs(F.coalesce(F.nanvl(F.col(f), F.lit(0.0)), F.lit(0.0)))
+    def _clean(v: float) -> float:
+        return abs(v) if v == v else 0.0   # NaN→0 + abs (:891)
+
+    out_rows = []
+    for q, c in sorted({(r["qid"], r["cand"]) for r in cand_rows}):
+        feat = dict.fromkeys(FEATURES, 0.0)
+        f = fb.get((q, c))
+        if f is not None:
+            feat["expTDocScore"] = float(f["expTDocScore"])
+            feat["numCanDocs"] = float(f["numCanDocs"])
+            feat["avgCDocScore"] = float(f["avgCDocScore"])
+            feat["maxCDocScore"] = float(f["maxCDocScore"])
+            feat["topTermFrac"] = f["tf_top"] / top_dl_sum[q]
+        if c in tdf:
+            feat["conIdf"] = math.log(n_docs / tdf[c])
+        pl = pair_lists.get((q, c))
+        if pl:
+            cols = list(zip(*pl))
+            for i, nm in enumerate(
+                ["ColCor", "TopColCor", "ColPCor", "TopColPCor"]
+            ):
+                feat["avg" + nm] = sum(cols[i]) / len(pl)
+                feat["max" + nm] = max(cols[i])
+        out_rows.append(
+            (q, c) + tuple(_clean(feat[name]) for name in FEATURES)
         )
-    return out
+    return spark.createDataFrame(
+        out_rows,
+        "qid string, cand string, "
+        + ", ".join(f"{name} double" for name in FEATURES),
+    )
 
 
 def normalize_and_combine(
@@ -333,12 +361,26 @@ def sequential_expand(
     ``rank_round`` makes every discrete selection (feedback docs,
     per-layer term pick) rank on rounded keys — the cross-engine policy.
     """
-    out = query_terms.select(
-        "qid", "term", F.col("weight").cast("double").alias("weight"),
-        F.lit(0).alias("layer"),
-    )
-    sources = query_terms.select("qid", "term", "weight")
+    spark = query_terms.sparkSession
+    # The loop's bookkeeping state (selected terms so far, next layer's
+    # sources) is <= queries × (|q| + Σ per_layer_terms) rows and every
+    # layer boundary needs a hard lineage cut anyway (without it, layer
+    # ℓ+1's lazy plan re-derives the whole layer-ℓ feature pipeline once
+    # per reference — an iterative-lineage blowup that turns 2 layers
+    # into an hours-long analysis/execution). So the state lives in the
+    # driver: the earlier-layer exclusion is a set lookup instead of an
+    # anti-join, and each layer's sources feed concept_features as a
+    # LocalTableScan.
+    out_rows = [
+        (r["qid"], r["term"], float(r["weight"]), 0)
+        for r in query_terms.select("qid", "term", "weight").collect()
+    ]
+    seen = {(q, t) for q, t, _, _ in out_rows}
+    src_rows = [(q, t, w) for q, t, w, _ in out_rows]
     for ell in range(1, layers + 1):
+        sources = spark.createDataFrame(
+            src_rows, "qid string, term string, weight double"
+        )
         layer_caches: list = []
         feats = concept_features(
             index, sources, graph_edges, top_t=top_t, count_lim=count_lim,
@@ -348,39 +390,24 @@ def sequential_expand(
         sel = select_expansion_terms(
             weighted, n_terms=per_layer_terms[ell - 1], rank_round=rank_round
         )
-        # exclude anything already selected in ANY earlier layer
-        sel = sel.join(
-            out.select("qid", F.col("term").alias("cand")), ["qid", "cand"],
-            "left_anti",
-        )
-        # Materialize the layer's selection before it feeds BOTH the
-        # next layer's sources and the final union: without this, layer
-        # ℓ+1's (lazy) plan re-derives the whole layer-ℓ feature
-        # pipeline once per reference — an iterative-lineage blowup that
-        # turns 2 layers into an hours-long analysis/execution. The
-        # selection is tiny (≤ queries × per_layer_terms rows), so a
-        # driver-side rebuild is the cheapest hard lineage cut.
-        sel = sel.sparkSession.createDataFrame(
-            sel.select("qid", "cand", "weight").collect(),
-            "qid string, cand string, weight double",
-        )
+        sel_rows = sel.select("qid", "cand", "weight").collect()
         # the selection is materialized — release this layer's caches so
         # iterations don't accumulate persisted partitions
         for df in layer_caches:
             df.unpersist()
+        # exclude anything already selected in ANY earlier layer (the
+        # reference drops, not replaces: exclusion runs AFTER the top-N)
         lw = float(layer_weights[ell - 1])
-        out = out.unionByName(
-            sel.select(
-                "qid",
-                F.col("cand").alias("term"),
-                (F.lit(lw) * F.col("weight")).alias("weight"),
-                F.lit(ell).alias("layer"),
-            )
-        )
-        sources = sel.select(
-            "qid", F.col("cand").alias("term"), F.lit(1.0).alias("weight")
-        )
-    return out
+        src_rows = []
+        for r in sel_rows:
+            if (r["qid"], r["cand"]) in seen:
+                continue
+            seen.add((r["qid"], r["cand"]))
+            out_rows.append((r["qid"], r["cand"], lw * r["weight"], ell))
+            src_rows.append((r["qid"], r["cand"], 1.0))
+    return spark.createDataFrame(
+        out_rows, "qid string, term string, weight double, layer int"
+    )
 
 
 def expanded_topk(
