@@ -178,7 +178,11 @@ def main(argv=None) -> int:
         expr = " ".join(args)
         hdr = idx.vocab.agg(F.sum("cf")).head()[0]
         print(f"{expr} {hdr} {idx.n_docs}")
-        _matches(idx, expr).orderBy("doc_id").show(100)
+        # every matching doc, like the reference (cpp :245-269) — no
+        # .show() row cap
+        rows = _matches(idx, expr).orderBy("doc_id").toLocalIterator()
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['matches']}")
     elif cmd == "x":
         expr = " ".join(args)
         n = _matches(idx, expr).agg(F.sum("matches")).head()[0] or 0
@@ -205,11 +209,13 @@ def main(argv=None) -> int:
         # intersection of matching docs with the given list (cpp :49-92)
         for raw in _expr_lines(args[0]):
             expr, _, given = raw.partition(":")
-            given_set = [g for g in given.split(",") if g]
+            given_set = {g for g in given.split(",") if g}
             m = _matches(idx, expr).join(idx.docmap, "doc_id")
-            rows = m.select("url").toLocalIterator()
+            # deterministic doc_id order (partition order is not stable
+            # across runs; the sibling `ef` branch sorts the same way)
+            rows = m.orderBy("doc_id").select("url").toLocalIterator()
             urls = [r["url"] for r in rows]
-            hit = [u for u in urls if u in set(given_set)]
+            hit = [u for u in urls if u in given_set]
             print(f"{expr}:{len(urls)}," + ",".join(hit) + f",:{given}")
     elif cmd == "dcf":
         idx.doc_len.filter(F.col("doc_id") == int(args[0])).show()

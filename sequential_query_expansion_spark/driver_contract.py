@@ -1111,8 +1111,12 @@ def q_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .webtext import disk_index_dir
 
     if sf_dir not in _LIVE_DELETE_DIRS:
+        import atexit
+
         src = disk_index_dir(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="sqe_livedel_") + "/idx"
+        work = tempfile.mkdtemp(prefix="sqe_livedel_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        d = work + "/idx"
         shutil.copytree(src, d)
         docmap = spark.read.parquet(f"{d}/docmap")
         mt.delete_docs(

@@ -29,6 +29,7 @@ posting intersection) THEN the positional check on the survivors only.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import List, Sequence
 
 import numpy as np
@@ -113,8 +114,15 @@ def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
     have = 0
     res = 0
     left = 0
-    for ri in range(len(events)):
-        rt = events[ri][2]
+    # monotonic deque of event indices with decreasing end — the window
+    # max(end) in O(1) per step instead of rescanning events[left:ri+1]
+    # (docs where common terms occur thousands of times made that
+    # rescan O(E^2) inside the mapInPandas hot loop)
+    maxq: deque = deque()
+    for ri, (_, re_, rt) in enumerate(events):
+        while maxq and events[maxq[-1]][1] <= re_:
+            maxq.pop()
+        maxq.append(ri)
         cnt[rt] += 1
         if cnt[rt] == 1:
             have += 1
@@ -122,14 +130,16 @@ def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
             lb, _, lt = events[left]
             if cnt[lt] > 1:
                 cnt[lt] -= 1
+                if maxq[0] == left:
+                    maxq.popleft()
                 left += 1
                 continue
-            if n is None or (
-                max(e for _, e, _ in events[left:ri + 1]) - lb + 1 <= n
-            ):
+            if n is None or events[maxq[0]][1] - lb + 1 <= n:
                 res += 1
             cnt[lt] -= 1
             have -= 1
+            if maxq[0] == left:
+                maxq.popleft()
             left += 1
     return res
 

@@ -346,9 +346,18 @@ def merge_indexes(
 
     offsets = []
     off = 0
-    for s in all_stats:
+    for i in range(len(input_dirs)):
         offsets.append(off)
-        off += int(s["n_docs"])
+        # a compacted input keeps its original, now NON-contiguous ids
+        # (delete + compact leaves holes), so the next input must shift
+        # past max(doc_id)+1 — offsetting by n_docs would fuse two
+        # different documents under one merged id
+        span = (
+            spark.read.parquet(os.path.join(input_dirs[i], "docmap"))
+            .agg(F.max("doc_id"))
+            .first()[0]
+        )
+        off += int(span) + 1
 
     def shifted(sub: str, i: int) -> DataFrame:
         df = spark.read.parquet(os.path.join(input_dirs[i], sub))

@@ -128,16 +128,22 @@ def start_host_stats(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
+    watermark: str = "1 hour",
     available_now: bool = True,
 ):
-    """Custom stateful streaming operator: per-host running ingest
-    statistics via applyInPandasWithState (GroupState survives across
-    micro-batches; output sink keeps the latest row per host per batch).
-    """
+    """Custom stateful streaming operator: watermarked URL dedup, then
+    per-host running ingest statistics via applyInPandasWithState
+    (GroupState survives across micro-batches; output sink keeps the
+    latest row per host per batch). Two chained stateful operators —
+    dedup state keyed by url, counter state keyed by host."""
     ckpt = os.path.join(out_dir, "_hoststats_checkpoint")
     sink = os.path.join(out_dir, "host_stats")
 
-    stream = spark.readStream.schema(PAGE_SCHEMA).parquet(input_dir)
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA).parquet(input_dir)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
     gated = quality_gate_cols(stream).withColumn(
         "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
     )

@@ -102,7 +102,11 @@ def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir, "disk")
     if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
         out = tempfile.mkdtemp(prefix="sqe_srvidx_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
         build_index_checkpointed(
             spark,
             load_documents(spark, sf_dir).select("doc_id", "text"),

@@ -172,6 +172,45 @@ def test_merge_command(capsys, spark, tmp_path_factory):
     assert rc == 0
 
 
+def test_merge_after_compact_keeps_ids_distinct(spark, tmp_path_factory):
+    """A compacted input has NON-contiguous doc ids (delete leaves
+    holes), so offsetting the next input by n_docs would fuse two
+    documents under one merged id — offsets must come from
+    max(doc_id)+1."""
+    from sequential_query_expansion_spark.index import maintenance as mt
+
+    root = tmp_path_factory.mktemp("mergeholes")
+    a, b, out = str(root / "a"), str(root / "b"), str(root / "out")
+    docs_a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs_b = spark.createDataFrame(
+        [(0, "merged text unique marker alpha"),
+         (1, "another merged marker beta")],
+        "doc_id long, text string",
+    )
+    build_index_checkpointed(spark, docs_a, a, salt_ranges=2, num_buckets=4)
+    mt.delete_docs(spark, a, [0])          # hole at id 0; max id stays 4
+    mt.compact_index(spark, a)             # n_docs=4 but ids are 1..4
+    build_index_checkpointed(spark, docs_b, b, salt_ranges=2, num_buckets=4)
+    mt.merge_indexes(spark, out, [a, b])
+    docmap = spark.read.parquet(out + "/docmap")
+    n = docmap.count()
+    assert n == 6  # 4 survivors + 2 from B
+    assert docmap.select("doc_id").distinct().count() == n
+    doc_len = spark.read.parquet(out + "/doc_len")
+    assert doc_len.select("doc_id").distinct().count() == doc_len.count()
+    # B's docs remain individually addressable after the shift:
+    # "alpha" occurs only in B's doc 0 -> merged id max_id(A)+1 = 5
+    from sequential_query_expansion_spark.index.checkpoint import load_index
+    from sequential_query_expansion_spark.scoring.bm25 import score_topk
+
+    idx = load_index(spark, out)
+    qt = spark.createDataFrame(
+        [("qb", "alpha", 1.0)], "qid string, term string, weight double"
+    )
+    top = score_topk(idx, qt, k=1, with_url=False).collect()
+    assert top and top[0]["doc_id"] == 5
+
+
 def test_merge_refuses_tombstoned_input(spark, tmp_path_factory):
     from sequential_query_expansion_spark.index import maintenance as mt
 
@@ -214,6 +253,56 @@ def test_scnet_stems_phrase_fields(capsys, tmp_path):
 
 
 # --- kernel-level properties -------------------------------------------
+
+
+def _uw_count_extents_brute(ext, n):
+    """Independent oracle from the SPEC, not the kernel: a match is a
+    doubly-minimal covering window over the (begin, end, child) event
+    stream — events[l..r] holds >=1 extent of every child while neither
+    events[l+1..r] nor events[l..r-1] does — whose covering span
+    max(end) - begin[l] + 1 fits n. Brute-forces all (l, r) pairs."""
+    k = len(ext)
+    if k == 0 or any(len(a) == 0 for a in ext):
+        return 0
+    events = sorted(
+        (int(b), int(e), i) for i, arr in enumerate(ext) for b, e in arr
+    )
+
+    def covered(l, r):
+        return len({t for _, _, t in events[l:r + 1]}) == k
+
+    res = 0
+    for l in range(len(events)):
+        for r in range(l, len(events)):
+            if not covered(l, r):
+                continue
+            # minimal r for this l found; count iff also left-minimal
+            if not (l + 1 <= r and covered(l + 1, r)):
+                span_end = max(e for _, e, _ in events[l:r + 1])
+                if n is None or span_end - events[l][0] + 1 <= n:
+                    res += 1
+            break
+    return res
+
+
+def test_uw_count_extents_vs_doubly_minimal_brute_force():
+    rng = np.random.default_rng(13)
+    for _ in range(300):
+        k = int(rng.integers(2, 4))
+        ext = []
+        for _ in range(k):
+            m = int(rng.integers(0, 6))
+            if m == 0:
+                ext.append(np.empty((0, 2), np.int64))
+                continue
+            bs = np.sort(rng.integers(0, 30, size=m))
+            ls = rng.integers(0, 4, size=m)
+            ext.append(np.stack([bs, bs + ls], axis=1).astype(np.int64))
+        n = int(rng.integers(2, 15))
+        assert uw_count_extents(ext, n) == _uw_count_extents_brute(ext, n)
+        assert uw_count_extents(ext, None) == _uw_count_extents_brute(
+            ext, None
+        )
 
 
 def test_uw_count_extents_reduces_to_point_kernel():
