@@ -1603,6 +1603,40 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of the spherical-k-means IVF
+    trainer (`similarity.ivf_train`), value-oracled: init = the same 16
+    fixed table rows the `cosine_topk_ivf` codebook uses, assignment =
+    the query path's own rounded argmax bucketing, recompute = per-dim
+    means L2-normalized. The oracle replays assignment + mean + norm in
+    SQL, so the training step's bucket counts AND every centroid
+    coordinate hash-match. (iters>1 is the same step composed; one step
+    keeps the oracle non-iterative.)"""
+    import numpy as np
+
+    emb = load_embeddings(spark, sf_dir)
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    init = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    counts: dict = {}
+    cents = similarity.ivf_train(
+        emb, iters=1, init=init, score_round=RANK_ROUND, counts_out=counts,
+    )
+    out = []
+    for b in sorted(counts):
+        for d in range(EMB_DIM):
+            out.append((b, counts[b], d, round(float(cents[b][d]), 5)))
+    return spark.createDataFrame(
+        out, "bucket long, n long, dim long, c double"
+    )
+
+
 COS_PAIR_THRESHOLD = 0.45
 
 
@@ -3027,6 +3061,33 @@ SELECT probe_id, vec_id, rank::BIGINT AS rank, round(cos, 5) AS cos
 FROM iranked WHERE rank <= {TOPK}
 """
 
+    # one Lloyd step of the spherical-k-means IVF trainer: same fixed-row
+    # init + rounded argmax assignment as cosine_topk_ivf, then per-dim
+    # means L2-normalized per bucket
+    sql["ivf_train_step"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+cscore AS (
+  SELECT e.vec_id, c.i, round(list_dot_product(e.v, c.v), {RANK_ROUND}) AS s
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, i AS bucket FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+    FROM cscore) WHERE rn = 1),
+dims AS (SELECT d AS dim FROM generate_series(1, {EMB_DIM}) AS t(d)),
+mu AS (
+  SELECT a.bucket, d.dim, avg(e.v[d.dim]) AS m, count(*)::BIGINT AS n
+  FROM assign a JOIN e USING (vec_id), dims d
+  GROUP BY a.bucket, d.dim),
+nrm AS (SELECT bucket, sqrt(sum(m * m)) AS nn FROM mu GROUP BY bucket)
+SELECT mu.bucket::BIGINT AS bucket, mu.n AS n, (mu.dim - 1)::BIGINT AS dim,
+       round(mu.m / nrm.nn, 5) AS c
+FROM mu JOIN nrm USING (bucket)
+"""
+
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -3114,6 +3175,7 @@ SPARK_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,    # LSH-bucketed (approximate)
     "cosine_topk_ivf": q_cosine_topk_ivf,    # IVF (approximate)
+    "ivf_train_step": q_ivf_train_step,      # IVF codebook trainer
     "cosine_pairs": q_cosine_pairs,
     # round-3 additions (also never driver-verified -> early)
     "image_features": q_image_features,

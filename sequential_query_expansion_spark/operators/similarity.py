@@ -262,6 +262,60 @@ def with_ivf_bucket(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    init: np.ndarray | None = None,
+    score_round: int | None = None,
+    counts_out: dict | None = None,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) for the IVF codebook.
+
+    Assignment reuses ``with_ivf_bucket`` — the query path's own argmax
+    bucketing, so training and serving can never disagree on the
+    assignment rule. The recompute is ONE groupBy per iteration with
+    per-dimension partial sums: map-side combine means only
+    n_centroids × (dim + 1) doubles cross the wire regardless of corpus
+    size, and the scan side never shuffles vectors. Centroids are
+    L2-normalized each step (spherical variant — the right objective for
+    the dot-product assignment); empty clusters keep their previous
+    centroid. ``counts_out``: if given, filled with the final
+    iteration's per-bucket vector counts. The result drops into
+    ``cosine_topk_ivf(centroids=...)``.
+    """
+    if init is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+        cents = ivf_centroids(dim, n_centroids, seed)
+    else:
+        cents = np.asarray(init, dtype=np.float64).copy()
+    dim = cents.shape[1]
+    base = embeddings.select(F.col(vec_col).alias("vec"))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("vec", i + 1).cast("double")).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = with_ivf_bucket(base, cents, score_round=score_round)
+        rows = assigned.groupBy("bucket").agg(*aggs).collect()
+        new = cents.copy()
+        if counts_out is not None:
+            counts_out.clear()
+        for r in rows:
+            if counts_out is not None:
+                counts_out[int(r["bucket"])] = int(r["n"])
+            m = np.array(
+                [r[f"s{i}"] for i in range(dim)], dtype=np.float64
+            ) / float(r["n"])
+            nrm = float(np.linalg.norm(m))
+            if nrm > 0.0:
+                new[r["bucket"]] = m / nrm
+        cents = new
+    return cents
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     probes: DataFrame,

@@ -117,6 +117,21 @@ def test_sequential_layers(spark, index_tables, qt, graph_df):
     assert (l1.groupby("qid").size() <= 5).all()
 
 
+def test_empty_graph_yields_no_candidates(spark, index_tables, qt):
+    """No edges -> empty feature table (schema intact), and the layered
+    expansion still returns the layer-0 query terms untouched."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    feats = cg.concept_features(index_tables, qt, empty, top_t=TOP_T)
+    assert feats.count() == 0
+    assert feats.columns == ["qid", "cand"] + cg.FEATURES
+    exp = cg.sequential_expand(
+        index_tables, qt, empty, layers=2,
+        per_layer_terms=(5, 3), layer_weights=(0.3, 0.1), top_t=TOP_T,
+    ).toPandas()
+    assert set(exp.layer.unique()) == {0}
+    assert len(exp) == qt.count()
+
+
 def test_expanded_run_executes(spark, index_tables, qt, graph_df):
     res = cg.expanded_topk(
         index_tables, qt, graph_df, k=10,

@@ -69,6 +69,50 @@ def test_ivf_recall_and_monotone_nprobe(emb, probes, exact):
     assert r_small >= 0.2, r_small
 
 
+def _kmeans_objective(emb, cents):
+    """Mean best dot(v/|v|, centroid) over the table — what spherical
+    k-means maximizes; computed Spark-side with the query path's own
+    scorer."""
+    scored = emb.select(
+        F.array_max(
+            sim._centroid_scores(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double"),
+                ),
+                cents,
+            )
+        ).getField("s").alias("best"),
+        sim._norm(F.col("embedding")).alias("nrm"),
+    )
+    row = scored.agg(F.avg(F.col("best") / F.col("nrm"))).first()
+    return float(row[0])
+
+
+def test_ivf_train_improves_objective_monotonically(emb):
+    cents0 = sim.ivf_centroids(
+        len(emb.select("embedding").head()[0]), 8, seed=42
+    )
+    obj = [_kmeans_objective(emb, cents0)]
+    cents = cents0
+    for _ in range(3):
+        cents = sim.ivf_train(emb, iters=1, init=cents)
+        obj.append(_kmeans_objective(emb, cents))
+    # Lloyd steps never decrease the spherical objective, and training
+    # must actually move it off the random init
+    for a, b in zip(obj, obj[1:]):
+        assert b >= a - 1e-9, obj
+    assert obj[-1] > obj[0] + 0.01, obj
+
+
+def test_ivf_trained_codebook_drops_into_query_path(emb, probes, exact):
+    cents = sim.ivf_train(emb, n_centroids=8, iters=2)
+    out = sim.cosine_topk_ivf(
+        emb, probes, k=K, nprobe=8, centroids=cents
+    ).toPandas()
+    assert _recall(out, exact) == pytest.approx(1.0)
+
+
 def test_cosine_pairs_exact_symmetric(emb):
     pairs = sim.cosine_pairs_exact(emb, 0.4).toPandas()
     assert (pairs.doc_a < pairs.doc_b).all()
