@@ -1574,6 +1574,24 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixed_codebook(emb: DataFrame):
+    """The 16 fixed table rows (IVF_CENTROID_IDS, vec_id order) both IVF
+    entries share — the invariant that keeps the query path's codebook
+    and the trainer's init identical, and lets the SQL oracle rebuild
+    either."""
+    import numpy as np
+
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, value-oracled: the codebook is 16 FIXED table rows
     (deterministic sample — a trained k-means codebook drops into the
@@ -1582,17 +1600,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    import numpy as np
-
-    cent_rows = (
-        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cents = np.array(
-        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
+    cents = _ivf_fixed_codebook(emb)
     out = similarity.cosine_topk_ivf(
         emb, probes, k=TOPK, nprobe=IVF_NPROBE, centroids=cents,
         score_round=RANK_ROUND, rank_round=RANK_ROUND,
@@ -1612,21 +1620,11 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so the training step's bucket counts AND every centroid
     coordinate hash-match. (iters>1 is the same step composed; one step
     keeps the oracle non-iterative.)"""
-    import numpy as np
-
     emb = load_embeddings(spark, sf_dir)
-    cent_rows = (
-        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    init = np.array(
-        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
     counts: dict = {}
     cents = similarity.ivf_train(
-        emb, iters=1, init=init, score_round=RANK_ROUND, counts_out=counts,
+        emb, iters=1, init=_ivf_fixed_codebook(emb),
+        score_round=RANK_ROUND, counts_out=counts,
     )
     out = []
     for b in sorted(counts):

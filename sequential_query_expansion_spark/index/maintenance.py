@@ -178,6 +178,24 @@ def compact_index(spark: SparkSession, out_dir: str,
     flat_all = spark.read.parquet(flat_root)
 
     if tomb is not None:
+        # refuse to compact down to NOTHING before touching any table: a
+        # zero-survivor index has no readable stages (empty parquet dirs
+        # are file-less) and no meaningful stats — delete the directory
+        # instead
+        survivors = (
+            spark.read.parquet(os.path.join(out_dir, "docmap"))
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if survivors == 0:
+            os.remove(sentinel)
+            raise ValueError(
+                "tombstones cover every document; refusing to compact to "
+                "an empty index — remove the index directory instead"
+            )
+
+    if tomb is not None:
         # bucket-pruned rewrite: only buckets holding tombstoned rows
         affected = sorted(
             r["bucket"]
@@ -344,10 +362,20 @@ def merge_indexes(
     num_buckets = all_stats[0].get("num_buckets", 64)
     salt_ranges = all_stats[0].get("salt_ranges", 8)
 
-    offsets = []
+    # A fully-deleted-then-compacted input (n_docs == 0) contributes
+    # nothing — and its stage parquets are file-less, so it cannot even
+    # be read. Drop such inputs entirely.
+    live = [
+        i for i in range(len(input_dirs))
+        if int(all_stats[i]["n_docs"]) > 0
+    ]
+    if not live:
+        raise ValueError("every input index is empty; nothing to merge")
+
+    offsets = {}
     off = 0
-    for i in range(len(input_dirs)):
-        offsets.append(off)
+    for i in live:
+        offsets[i] = off
         # a compacted input keeps its original, now NON-contiguous ids
         # (delete + compact leaves holes), so the next input must shift
         # past max(doc_id)+1 — offsetting by n_docs would fuse two
@@ -366,8 +394,8 @@ def merge_indexes(
         )
 
     def union_stage(sub: str) -> DataFrame:
-        out = shifted(sub, 0)
-        for i in range(1, len(input_dirs)):
+        out = shifted(sub, live[0])
+        for i in live[1:]:
             out = out.unionByName(shifted(sub, i))
         return out
 
@@ -386,14 +414,14 @@ def merge_indexes(
     stages = ["flat", "blocked"]
     for sub in ("docs", "doc_vectors"):
         if all(
-            os.path.isdir(os.path.join(d, sub)) for d in input_dirs
+            os.path.isdir(os.path.join(input_dirs[i], sub)) for i in live
         ):
             union_stage(sub).sort("doc_id").write.mode("overwrite").parquet(
                 os.path.join(out_dir, sub)
             )
             stages.append(sub)
     if all(
-        os.path.isdir(os.path.join(d, "positional")) for d in input_dirs
+        os.path.isdir(os.path.join(input_dirs[i], "positional")) for i in live
     ):
         pos = union_stage("positional").drop("bucket").withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")

@@ -136,7 +136,11 @@ def start_host_stats(
     (GroupState survives across micro-batches; output sink keeps the
     latest row per host per batch). Two chained stateful operators —
     dedup state keyed by url, counter state keyed by host."""
-    ckpt = os.path.join(out_dir, "_hoststats_checkpoint")
+    # v2: the dedup stage changed the stateful-operator graph, which a
+    # v1 checkpoint cannot resume (Spark refuses state-graph changes) —
+    # a fresh checkpoint path makes the upgrade an explicit re-bootstrap
+    # instead of a StreamingQueryException on restart
+    ckpt = os.path.join(out_dir, "_hoststats_checkpoint_v2")
     sink = os.path.join(out_dir, "host_stats")
 
     stream = (

@@ -191,6 +191,14 @@ def test_merge_after_compact_keeps_ids_distinct(spark, tmp_path_factory):
     mt.delete_docs(spark, a, [0])          # hole at id 0; max id stays 4
     mt.compact_index(spark, a)             # n_docs=4 but ids are 1..4
     build_index_checkpointed(spark, docs_b, b, salt_ranges=2, num_buckets=4)
+    # deleting EVERY doc then compacting is refused up front (a
+    # zero-survivor index has no readable stages)
+    e = str(root / "e")
+    docs_e = spark.createDataFrame([(0, "ghost doc")], "doc_id long, text string")
+    build_index_checkpointed(spark, docs_e, e, salt_ranges=2, num_buckets=4)
+    mt.delete_docs(spark, e, [0])
+    with pytest.raises(ValueError, match="refusing to compact"):
+        mt.compact_index(spark, e)
     mt.merge_indexes(spark, out, [a, b])
     docmap = spark.read.parquet(out + "/docmap")
     n = docmap.count()
