@@ -177,6 +177,17 @@ def compact_index(spark: SparkSession, out_dir: str,
     flat_root = os.path.join(out_dir, "postings_flat")
     flat_all = spark.read.parquet(flat_root)
 
+    # restore any doc table a previous crashed compact left parked as
+    # <stage>.compact.tmp BEFORE anything reads those tables — the
+    # zero-survivor guard below reads docmap, so running the restore
+    # after it (as the rewrite loop used to) broke the "re-run compact
+    # repairs any crash" contract for a crash in docmap's swap window
+    for name in ("docmap", "doc_len", "doc_vectors", "docs"):
+        p = os.path.join(out_dir, name)
+        tmp = p + ".compact.tmp"
+        if not os.path.isdir(p) and os.path.isdir(tmp):
+            os.replace(tmp, p)
+
     if tomb is not None:
         # refuse to compact down to NOTHING before touching any table: a
         # zero-survivor index has no readable stages (empty parquet dirs
@@ -240,14 +251,9 @@ def compact_index(spark: SparkSession, out_dir: str,
         for name in ("docmap", "doc_len", "doc_vectors", "docs"):
             p = os.path.join(out_dir, name)
             tmp = p + ".compact.tmp"
-            if not os.path.isdir(p) and os.path.isdir(tmp):
-                # a previous compact crashed between rmtree(p) and the
-                # replace below; tmp holds that run's FINISHED rewrite
-                # (written before the rmtree), so restoring it keeps the
-                # "re-run compact repairs any crash" contract — without
-                # this, doc_vectors would silently vanish (optional-stage
-                # continue) and docmap/doc_len would fail the read
-                os.replace(tmp, p)
+            # crash recovery (a previous run dying between rmtree(p) and
+            # os.replace(tmp, p)) already ran above, before the
+            # zero-survivor guard's docmap read
             if name in ("doc_vectors", "docs") and not os.path.isdir(p):
                 continue  # optional stages, never published
             kept = spark.read.parquet(p).join(
@@ -359,6 +365,24 @@ def merge_indexes(
         all_stats.append(stats)
 
     os.makedirs(out_dir, exist_ok=True)
+    # a reused out_dir must not leak a previous index's state: stale
+    # tombstones/ would be applied by the final compact against the
+    # RENUMBERED merged ids (silent wrong deletions), and stale stage
+    # dirs this merge doesn't write (docs/, positional/, ...) would be
+    # served by path-probing readers (cli._docs_table, load_index's
+    # optional stages) with pre-merge content. Clear every known index
+    # artifact up front; stats.json/manifest are overwritten below.
+    for stale in (_TOMB, "_COMPACTING", "postings", "postings_flat",
+                  "docmap", "doc_len", "vocab", "docs", "doc_vectors",
+                  "positional", "build_metrics"):
+        p = os.path.join(out_dir, stale)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+        tmp = p + ".compact.tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
     num_buckets = all_stats[0].get("num_buckets", 64)
     salt_ranges = all_stats[0].get("salt_ranges", 8)
 

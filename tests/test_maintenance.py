@@ -365,3 +365,72 @@ def test_unfinished_compact_sentinel_blocks_load(spark, tmp_path_factory):
     # re-running compact clears it and restores service
     mt.compact_index(spark, out)
     assert load_index(spark, out).n_docs == 30
+
+
+def test_compact_recovers_docmap_swap_crash(spark, tmp_path_factory):
+    """ADVICE r3: the zero-survivor guard reads docmap BEFORE the crash
+    restore used to run — a crash between rmtree(docmap) and
+    os.replace(tmp, docmap) then made the re-run fail at the survivors
+    read instead of self-repairing. The restore must run first."""
+    import shutil
+
+    from sequential_query_expansion_spark.index.checkpoint import load_index
+
+    out = str(tmp_path_factory.mktemp("docmapcrash"))
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"),
+    )
+    build_index_checkpointed(spark, docs, out, salt_ranges=2, num_buckets=4)
+    mt.delete_docs(spark, out, [0, 3, 6])
+
+    # simulate the docmap swap-crash window: tmp fully written
+    # (tombstones applied), original dir removed, sentinel + tombstones
+    # still on disk
+    p = os.path.join(out, "docmap")
+    tomb = mt.tombstones(spark, out)
+    spark.read.parquet(p).join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    ).sort("doc_id").write.parquet(p + ".compact.tmp")
+    shutil.rmtree(p)
+    open(os.path.join(out, "_COMPACTING"), "w").close()
+
+    idx = mt.compact_index(spark, out)
+    assert idx.n_docs == 37
+    got = load_index(spark, out).docmap.toPandas()
+    assert len(got) == 37 and not set(got.doc_id) & {0, 3, 6}
+
+
+def test_merge_clears_stale_out_dir_state(spark, tmp_path_factory):
+    """ADVICE r3: a reused out_dir carrying a previous index's
+    tombstones/ (or stage dirs the merge doesn't write) must not leak
+    into the merged index — stale tombstones would silently delete
+    RENUMBERED merged docs in the final compact."""
+    root = tmp_path_factory.mktemp("mergestale")
+
+    def build(sub, lo, hi):
+        d = str(root / sub)
+        docs = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"),
+        )
+        build_index_checkpointed(spark, docs, d, salt_ranges=2, num_buckets=4)
+        return d
+
+    a = build("a", 0, 20)
+    b = build("b", 0, 15)
+    out = str(root / "out")
+    os.makedirs(out)
+    # stale state from a "previous index" at the same path
+    spark.createDataFrame([(0,), (1,), (2,)], "doc_id long").write.parquet(
+        os.path.join(out, "tombstones")
+    )
+    spark.createDataFrame(
+        [(999, "stale text")], "doc_id long, text string"
+    ).write.parquet(os.path.join(out, "docs"))
+
+    idx = mt.merge_indexes(spark, out, [a, b])
+    assert idx.n_docs == 35                      # nothing falsely deleted
+    assert not os.path.isdir(os.path.join(out, "tombstones"))
+    # inputs carry no docs stage -> merged index must not either
+    assert not os.path.isdir(os.path.join(out, "docs"))
