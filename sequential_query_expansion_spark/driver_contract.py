@@ -1637,6 +1637,70 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COS_PAIR_THRESHOLD = 0.45
 
+# --- banded near-dup fixture (round 4) -------------------------------------
+# The r3 entry was vacuously green: a SINGLE 12-plane sign-LSH band at
+# t=0.45 generated 40 candidates of which 0 were true pairs (exact path
+# found 14) — recall 0/14, and the 0-row output matched a 0-row oracle.
+# Round 4 makes the entry a real near-dup surface: 32 md5-parity planes
+# in 4 BANDS of 8 (minhash-banding shape) at a near-dup threshold of
+# 0.9, over the fixture embeddings PLUS six planted near-identical
+# twins (vec + eps·s, s a fixed ±1 md5-parity direction; two eps tiers
+# land the twins at cos ≈ 0.993 and ≈ 0.94). Measured on this fixture:
+# banded recall 6/6 true pairs verifying ~1.8% of all pairs;
+# single-band-32 recall 0/6 (tests/test_similarity.py pins both).
+ND_THRESHOLD = 0.9
+ND_N_PLANES = 32
+ND_BANDS = 4
+ND_TWIN_OFFSET = 1_000_000
+ND_PLANT_T1 = [7, 123, 333]     # eps1 twins: cos ≈ 0.993
+ND_PLANT_T2 = [42, 256, 444]    # eps2 twins: cos ≈ 0.94 (near threshold)
+ND_EPS1, ND_EPS2 = 0.015, 0.045
+
+
+def _plant_signs():
+    """Fixed ±1 perturbation direction, s[d] from md5('p:{d}') parity —
+    the same recomputable-in-SQL construction as hyperplanes_md5pm1."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array([
+        1.0
+        if int(hashlib.md5(f"p:{d}".encode()).hexdigest()[0], 16) & 1
+        else -1.0
+        for d in range(EMB_DIM)
+    ])
+
+
+def near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double) ∪ planted twins: twin_id = vec_id + 10^6,
+    twin vec = v + eps·s with eps by tier. Exact double arithmetic in
+    both engines (float→double is exact; one mul + one add per dim)."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    sign_arr = F.array(*[F.lit(float(x)) for x in _plant_signs()])
+    # eps must be materialized BEFORE the projection that renames
+    # vec_id: an outer reference inside the zip_with lambda binds
+    # against the projection's OUTPUT, so `vec_id.isin(T1)` would see
+    # the shifted twin ids (verified: all twins silently got eps2)
+    twins = (
+        emb.filter(F.col("vec_id").isin(ND_PLANT_T1 + ND_PLANT_T2))
+        .withColumn(
+            "eps",
+            F.when(F.col("vec_id").isin(ND_PLANT_T1), F.lit(ND_EPS1))
+            .otherwise(F.lit(ND_EPS2)),
+        )
+        .select(
+            (F.col("vec_id") + F.lit(ND_TWIN_OFFSET)).alias("vec_id"),
+            F.zip_with(
+                "vec", sign_arr, lambda a, b: a + F.col("eps") * b
+            ).alias("vec"),
+        )
+    )
+    return emb.unionByName(twins)
+
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (embedding near-dup surface)."""
@@ -1647,16 +1711,19 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs — the declared 100 TB scale path for
-    `cosine_pairs` (same-bucket equi-join candidates, exact-cosine
-    verify; no cross join anywhere). md5-parity ±1 planes make the
-    bucketing recomputable in the DuckDB oracle, so the candidate set
-    AND the verified values hash-match."""
-    emb = load_embeddings(spark, sf_dir)
-    planes = similarity.hyperplanes_md5pm1(EMB_DIM, LSH_N_PLANES)
+    """BANDED LSH near-dup pairs — the 100 TB scale path for
+    `cosine_pairs` at near-dup thresholds: (band, code) equi-join
+    candidates OR-ed across 4 bands of 8 md5-parity planes, dedup, then
+    exact-cosine verify. Input includes six planted near-identical
+    twins (see near_dup_input), so a green row requires the candidate
+    join to actually FIND pairs (6 expected — recall measured 6/6, vs
+    0/6 for the r3 single-band parameterization). The DuckDB oracle
+    recomputes twins, band codes and verification bit-for-bit."""
+    aug = near_dup_input(spark, sf_dir)
+    planes = similarity.hyperplanes_md5pm1(EMB_DIM, ND_N_PLANES)
     out = similarity.embedding_near_dup(
-        emb, threshold=COS_PAIR_THRESHOLD,
-        planes=planes, score_round=RANK_ROUND,
+        aug, threshold=ND_THRESHOLD, bands=ND_BANDS,
+        planes=planes, score_round=RANK_ROUND, vec_col="vec",
     )
     return out.select("doc_a", "doc_b", F.round("cos", 5).alias("cos"))
 
@@ -3094,33 +3161,47 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COS_PAIR_THRESHOLD}
 """
 
-    # near-dup scale path: same md5-parity bucketing as cosine_topk_lsh,
-    # candidates = same-bucket pairs, verify = exact cosine >= threshold
+    # near-dup scale path (round 4, BANDED): embeddings ∪ planted twins,
+    # 32 md5-parity planes in 4 bands of 8, candidates = pairs sharing
+    # any band's full code, verify = exact cosine >= threshold
+    nd_r = ND_N_PLANES // ND_BANDS
+    nd_t1 = ", ".join(str(i) for i in ND_PLANT_T1)
+    nd_all = ", ".join(str(i) for i in ND_PLANT_T1 + ND_PLANT_T2)
     sql["embedding_near_dup"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tw AS (
+  SELECT vec_id + {ND_TWIN_OFFSET} AS vec_id,
+         list_transform(v, (x, i) -> x +
+           (CASE WHEN vec_id IN ({nd_t1}) THEN {ND_EPS1} ELSE {ND_EPS2} END) *
+           (CASE WHEN ('0x' || substring(md5('p:' || (i - 1)::VARCHAR), 1, 1))::INT % 2 = 1
+                 THEN 1.0 ELSE -1.0 END)) AS v
+  FROM e0 WHERE vec_id IN ({nd_all})),
+allv AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw),
 pl AS (
   SELECT j.j, d.d,
          CASE WHEN ('0x' || substring(md5(j.j::VARCHAR || ':' || d.d::VARCHAR), 1, 1))::INT % 2 = 1
               THEN 1.0 ELSE -1.0 END AS w
-  FROM generate_series(0, {LSH_N_PLANES - 1}) AS j(j),
+  FROM generate_series(0, {ND_N_PLANES - 1}) AS j(j),
        generate_series(0, {EMB_DIM - 1}) AS d(d)),
 sgn AS (
-  SELECT e.vec_id, p.j,
-         CASE WHEN round(sum(e.v[p.d + 1] * p.w), {RANK_ROUND}) > 0
+  SELECT a.vec_id, p.j,
+         CASE WHEN round(sum(a.v[p.d + 1] * p.w), {RANK_ROUND}) > 0
               THEN 1 ELSE 0 END AS bit
-  FROM e, pl p GROUP BY e.vec_id, p.j),
+  FROM allv a, pl p GROUP BY a.vec_id, p.j),
 bkt AS (
-  SELECT vec_id, sum(bit * (1::BIGINT << j))::BIGINT AS bucket
-  FROM sgn GROUP BY vec_id),
+  SELECT vec_id, j // {nd_r} AS band,
+         sum(bit * (1::BIGINT << (j % {nd_r})))::BIGINT AS code
+  FROM sgn GROUP BY vec_id, band),
 cand AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bkt a JOIN bkt b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
 ver AS (
   SELECT c.doc_a, c.doc_b, list_cosine_similarity(ea.v, eb.v) AS cos
-  FROM cand c JOIN e ea ON ea.vec_id = c.doc_a
-              JOIN e eb ON eb.vec_id = c.doc_b)
+  FROM cand c JOIN allv ea ON ea.vec_id = c.doc_a
+              JOIN allv eb ON eb.vec_id = c.doc_b)
 SELECT doc_a, doc_b, round(cos, 5) AS cos
-FROM ver WHERE cos >= {COS_PAIR_THRESHOLD}
+FROM ver WHERE cos >= {ND_THRESHOLD}
 """
 
     # streaming host stats: the state-machine's final running totals must

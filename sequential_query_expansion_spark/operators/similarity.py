@@ -8,7 +8,9 @@ Two paths:
   signed against H fixed hyperplanes → a bucket code; probes search only
   their own bucket plus ``probe_bits``-hamming neighbor buckets. The scan
   side shuffles once on bucket code; probe side is broadcast.
-- ``embedding_near_dup`` — all-pairs cosine ≥ t via the same LSH buckets.
+- ``embedding_near_dup`` — all-pairs cosine ≥ t via BANDED sign-LSH
+  (OR over bands of planes — the minhash-banding shape; a single band
+  has ~zero recall at any usable threshold, measured in r3).
 
 At 100 TB the brute path is a single broadcast-join + window (no shuffle
 of the big side beyond the top-k agg); the LSH path prunes the scan by
@@ -382,40 +384,82 @@ def cosine_topk_ivf(
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 32,
+    bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
     score_round: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via same-bucket candidate generation.
+    """All-pairs cosine ≥ threshold via BANDED sign-LSH candidates +
+    exact-cosine verification — the minhash-banding shape
+    (`dedup.lsh_candidates`) applied to random-hyperplane signatures.
 
-    High-cosine pairs agree on most hyperplane signs → same bucket with
-    high probability; candidate verification is exact cosine. Pass
-    ``planes`` (e.g. ``hyperplanes_md5pm1``) + ``score_round`` for a
-    bucketing that a cross-engine SQL oracle can recompute bit-for-bit.
+    The planes split into ``bands`` contiguous groups of
+    r = n_planes // bands; a pair is a candidate iff it agrees on EVERY
+    sign in at least ONE band. Per-pair candidate probability at cosine
+    c is 1 - (1 - p^r)^bands with p = 1 - arccos(c)/π — the OR over
+    bands is what buys recall. A single band (bands=1, the pre-round-4
+    parameterization) has essentially no recall at any usable
+    threshold: measured on the 500-vector fixture + planted twins,
+    single-band-32 found 0/6 true pairs at t=0.9 while 4 bands × 8
+    planes found 6/6 (plants down to cos 0.937) verifying only ~1.8%
+    of all pairs. Candidates dedup BEFORE the exact verify, so each
+    surviving pair is scored once.
+
+    Pass ``planes`` (e.g. ``hyperplanes_md5pm1``) + ``score_round`` for
+    a bucketing a cross-engine SQL oracle can recompute bit-for-bit.
+
+    At 100 TB: band codes are a narrow explode (bands × ~8 bytes per
+    vector); the candidate join is an AQE-splittable equi-join on
+    (band, code); exact cosine touches only deduped candidates.
     """
     if planes is None:
         dim = len(embeddings.select(vec_col).head()[0])
         planes = hyperplanes(dim, n_planes, seed)
+    n_planes = len(planes)
+    if n_planes % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
+    r = n_planes // bands
+    mask = (1 << r) - 1
     base = with_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
         planes,
         "vec",
         score_round=score_round,
-    )
+    ).select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("bucket", b * r)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("code"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("vec_id", "vec", "bc.band", "bc.code")
     a = base.select(
-        F.col("vec_id").alias("doc_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vec_id").alias("doc_a"), F.col("vec").alias("vec_a"),
+        "band", "code",
     )
     b = base.select(
-        F.col("vec_id").alias("doc_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("vec_id").alias("doc_b"), F.col("vec").alias("vec_b"),
+        "band", "code",
+    )
+    cand = (
+        a.join(b, ["band", "code"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])   # verify each pair ONCE
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos", cosine_similarity_col(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn(
+            "cos", cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
-        .distinct()
     )

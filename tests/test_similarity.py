@@ -117,3 +117,56 @@ def test_cosine_pairs_exact_symmetric(emb):
     pairs = sim.cosine_pairs_exact(emb, 0.4).toPandas()
     assert (pairs.doc_a < pairs.doc_b).all()
     assert (pairs.cos >= 0.4).all()
+
+
+def test_near_dup_banded_recall_vs_single_band(spark):
+    """Round-4 fix for the vacuously-green r3 near-dup entry: BANDED
+    sign-LSH must recover the true near-dup pairs (planted twins, cos
+    0.93-0.99) that a single band provably misses. Truth = exact
+    all-pairs cosine >= threshold over the SAME augmented input."""
+    from sequential_query_expansion_spark.driver_contract import (
+        ND_BANDS,
+        ND_N_PLANES,
+        ND_PLANT_T1,
+        ND_PLANT_T2,
+        ND_THRESHOLD,
+        ND_TWIN_OFFSET,
+        near_dup_input,
+    )
+
+    aug = near_dup_input(spark, SF_DIR).persist()
+    planes = sim.hyperplanes_md5pm1(64, ND_N_PLANES)
+
+    truth = sim.cosine_pairs_exact(
+        aug, ND_THRESHOLD, vec_col="vec"
+    ).toPandas()
+    true_pairs = set(zip(truth.doc_a, truth.doc_b))
+    # every planted twin is a true pair at this threshold
+    assert {(i, i + ND_TWIN_OFFSET) for i in ND_PLANT_T1 + ND_PLANT_T2} \
+        <= true_pairs
+
+    banded = sim.embedding_near_dup(
+        aug, threshold=ND_THRESHOLD, bands=ND_BANDS,
+        planes=planes, score_round=6, vec_col="vec",
+    ).toPandas()
+    got = set(zip(banded.doc_a, banded.doc_b))
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall == 1.0, (recall, true_pairs - got)
+    # precision is 1.0 by construction (exact verify); no false pairs
+    assert got <= true_pairs
+
+    # the r3 parameterization — one band over all planes — misses
+    # everything: this is WHY banding is required, kept as a measured
+    # negative control, not an assertion of a desirable property
+    single = sim.embedding_near_dup(
+        aug, threshold=ND_THRESHOLD, bands=1,
+        planes=planes, score_round=6, vec_col="vec",
+    ).toPandas()
+    single_recall = (
+        len(set(zip(single.doc_a, single.doc_b)) & true_pairs)
+        / len(true_pairs)
+    )
+    # sf0.001 happens to have ONE twin agreeing on all 32 signs; the
+    # point stands: single-band recall collapses where banded is 1.0
+    assert single_recall <= 0.2, single_recall
+    aug.unpersist()
