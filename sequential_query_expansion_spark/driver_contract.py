@@ -1153,6 +1153,63 @@ def q_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERGE_SPLIT = 250              # docs < SPLIT -> input A, rest -> input B
+MERGE_DEL_MOD = 25             # pre-merge: delete every 25th id from A
+_MERGE_DIRS: dict = {}
+
+
+def q_merge_then_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 repository merge end-to-end, driver-verified — Indri's
+    `dumpindex m` (occuranceCount.cpp:700-708) via
+    ``index/maintenance.merge_indexes``: split documents into two
+    checkpointed indexes, tombstone + compact input A first (leaving
+    NON-contiguous doc ids — the id-offset regression case), merge,
+    then answer the query set through the merged index's re-encoded
+    blocked postings + WAND. Output keys on url (== original doc_id
+    string), which survives the merge renumbering, so one oracle —
+    BM25 over the surviving union — verifies doc identity, ranks AND
+    scores (df/cf/avgdl/n_docs must all have been rebuilt over the
+    union for the scores to match)."""
+    import shutil
+    import tempfile
+
+    from .index import maintenance as mt
+    from .index.checkpoint import build_index_checkpointed, load_index
+    from .scoring.wand import wand_topk
+
+    if sf_dir not in _MERGE_DIRS:
+        import atexit
+
+        work = tempfile.mkdtemp(prefix="sqe_merge_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        a, b, out = f"{work}/a", f"{work}/b", f"{work}/merged"
+        build_index_checkpointed(
+            spark, docs.filter(F.col("doc_id") < MERGE_SPLIT), a,
+            num_buckets=8,
+        )
+        build_index_checkpointed(
+            spark, docs.filter(F.col("doc_id") >= MERGE_SPLIT), b,
+            num_buckets=8,
+        )
+        mt.delete_docs(
+            spark, a, list(range(0, MERGE_SPLIT, MERGE_DEL_MOD))
+        )
+        mt.compact_index(spark, a)
+        mt.merge_indexes(spark, out, [a, b])
+        _MERGE_DIRS[sf_dir] = out
+    idx = load_index(spark, _MERGE_DIRS[sf_dir])
+    qt = query_term_table(queries_df(spark))
+    run = wand_topk(idx, qt, k=TOPK, salt_ranges=8, rank_round=RANK_ROUND)
+    # renumbered ids map back through docmap's url; the id->url map is
+    # monotone per input and inputs stay id-ordered, so the oracle's
+    # original-doc_id tie-break order is preserved
+    return run.join(idx.docmap, "doc_id").select(
+        "qid", "url", F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 IMG_PROBE_N = 16               # synthetic PNG probes (doc_id 0..N-1)
 
 
@@ -1630,6 +1687,37 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in sorted(counts):
         for d in range(EMB_DIM):
             out.append((b, counts[b], d, round(float(cents[b][d]), 5)))
+    return spark.createDataFrame(
+        out, "bucket long, n long, dim long, c double"
+    )
+
+
+IVF_TRAIN_ITERS = 3
+
+
+def q_ivf_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE composed Lloyd iterations of the IVF trainer — guards the
+    iteration LOOP, not just one step (`ivf_train_step` oracles a
+    single step). ``centroid_round`` pins each iteration's centroids to
+    6 dp so the DuckDB oracle can replay the full trajectory (iteration
+    k+1's rounded-argmax assignments depend bit-for-bit on iteration
+    k's centroids). Output = final assignment's bucket counts + every
+    final centroid coordinate."""
+    emb = load_embeddings(spark, sf_dir)
+    counts: dict = {}
+    cents = similarity.ivf_train(
+        emb, iters=IVF_TRAIN_ITERS, init=_ivf_fixed_codebook(emb),
+        score_round=RANK_ROUND, centroid_round=RANK_ROUND,
+        counts_out=counts,
+    )
+    out = []
+    for b in sorted(counts):
+        for d in range(EMB_DIM):
+            # centroids are ALREADY 6-dp-rounded (centroid_round); do
+            # NOT re-round to 5 — the 6-dp values sit exactly on 5-dp
+            # half boundaries, where Python (half-to-even) and DuckDB
+            # (half-away) tie-break differently (52/1024 diverged)
+            out.append((b, counts[b], d, float(cents[b][d])))
     return spark.createDataFrame(
         out, "bucket long, n long, dim long, c double"
     )
@@ -2322,6 +2410,22 @@ SELECT ph.phase, qid, doc_id, rank::BIGINT AS rank,
        round(score, {SCORE_ROUND}) AS score
 FROM topk CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
 WHERE rank <= {TOPK}
+"""
+
+    # S13 merge: BM25 over the union of input B and input A's survivors,
+    # keyed on url (the original doc_id as string — renumber-invariant)
+    base_merged = _BASE.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents "
+        f"WHERE doc_id >= {MERGE_SPLIT} OR doc_id % {MERGE_DEL_MOD} <> 0)",
+    )
+    sql["merge_then_query"] = f"""
+WITH {base_merged},
+{qterms},
+{_SCORED}
+SELECT qid, doc_id::VARCHAR AS url, rank::BIGINT AS rank,
+       round(score, {SCORE_ROUND}) AS score
+FROM topk WHERE rank <= {TOPK}
 """
 
     # image features: statistics recomputed from the RAW synthetic pixel
@@ -3153,6 +3257,53 @@ SELECT mu.bucket::BIGINT AS bucket, mu.n AS n, (mu.dim - 1)::BIGINT AS dim,
 FROM mu JOIN nrm USING (bucket)
 """
 
+    # 3 composed Lloyd iterations: each iteration = rounded-argmax
+    # assignment against the previous centroids, per-dim mean,
+    # L2-normalize, round to 6 dp (matching ivf_train's centroid_round).
+    # Empty buckets carry the previous centroid forward (rounded, since
+    # np.round applies to the whole array).
+    def _ivf_iter(k: int, prev: str) -> str:
+        return f"""
+a{k} AS (
+  SELECT vec_id, i AS bucket FROM (
+    SELECT e.vec_id, c.i,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.v, c.v), {RANK_ROUND}) DESC,
+                                       c.i DESC) AS rn
+    FROM e, {prev} c) WHERE rn = 1),
+mu{k} AS (
+  SELECT a.bucket, d.dim, avg(e.v[d.dim]) AS m, count(*)::BIGINT AS n
+  FROM a{k} a JOIN e USING (vec_id), dims d
+  GROUP BY a.bucket, d.dim),
+nr{k} AS (SELECT bucket, sqrt(sum(m * m)) AS nn FROM mu{k} GROUP BY bucket),
+cl{k} AS (
+  SELECT mu{k}.bucket,
+         list(round(mu{k}.m / nr{k}.nn, {RANK_ROUND}) ORDER BY mu{k}.dim) AS v
+  FROM mu{k} JOIN nr{k} USING (bucket)
+  WHERE nr{k}.nn > 0 GROUP BY mu{k}.bucket),
+c{k} AS (
+  SELECT p.i,
+         coalesce(cl{k}.v, list_transform(p.v, x -> round(x, {RANK_ROUND}))) AS v
+  FROM {prev} p LEFT JOIN cl{k} ON cl{k}.bucket = p.i)"""
+
+    iters_sql = ",".join(
+        _ivf_iter(k, "cents" if k == 1 else f"c{k - 1}")
+        for k in range(1, IVF_TRAIN_ITERS + 1)
+    )
+    fin = IVF_TRAIN_ITERS
+    sql["ivf_train_multi"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+dims AS (SELECT d AS dim FROM generate_series(1, {EMB_DIM}) AS t(d)),
+{iters_sql}
+SELECT cnt.bucket::BIGINT AS bucket, cnt.n AS n,
+       (d.dim - 1)::BIGINT AS dim, c{fin}.v[d.dim] AS c
+FROM (SELECT bucket, count(*)::BIGINT AS n FROM a{fin} GROUP BY bucket) cnt
+JOIN c{fin} ON c{fin}.i = cnt.bucket, dims d
+"""
+
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -3263,6 +3414,8 @@ SPARK_QUERIES = {
     "streaming_host_stats": q_streaming_host_stats,
     "hard_topics_eval": q_hard_topics_eval,
     "live_delete_topk": q_live_delete_topk,
+    "merge_then_query": q_merge_then_query,
+    "ivf_train_multi": q_ivf_train_multi,
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,

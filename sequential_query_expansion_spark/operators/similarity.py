@@ -272,6 +272,7 @@ def ivf_train(
     vec_col: str = "embedding",
     init: np.ndarray | None = None,
     score_round: int | None = None,
+    centroid_round: int | None = None,
     counts_out: dict | None = None,
 ) -> np.ndarray:
     """Distributed spherical k-means (Lloyd's) for the IVF codebook.
@@ -287,6 +288,13 @@ def ivf_train(
     centroid. ``counts_out``: if given, filled with the final
     iteration's per-bucket vector counts. The result drops into
     ``cosine_topk_ivf(centroids=...)``.
+
+    ``centroid_round``: round every centroid coordinate after each
+    update — with ``score_round`` this makes the WHOLE multi-iteration
+    trajectory replayable by a cross-engine SQL oracle (iteration k+1's
+    assignments depend on iteration k's centroids, so without the
+    rounding a last-ulp summation-order difference could diverge the
+    trajectories).
     """
     if init is None:
         dim = len(embeddings.select(vec_col).head()[0])
@@ -315,6 +323,8 @@ def ivf_train(
             if nrm > 0.0:
                 new[r["bucket"]] = m / nrm
         cents = new
+        if centroid_round is not None:
+            cents = np.round(cents, centroid_round)
     return cents
 
 
