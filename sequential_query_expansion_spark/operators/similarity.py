@@ -117,14 +117,78 @@ def bucket_code_col(vec_col, planes: np.ndarray, score_round: int | None = None)
     return code
 
 
+# Above this many planes/centroids the literal-column path (one
+# generated array literal per plane/centroid) explodes the Catalyst
+# plan — a 4k-centroid codebook would be 4k generated expressions
+# (VERDICT r3 watch-item). Past it, the codebook rides into the tasks
+# as a captured numpy matrix (serialized once with the function — the
+# broadcast-variable pattern without the sc handle) and the argmax /
+# sign kernel is ONE matmul per Arrow batch.
+LITERAL_CODEBOOK_MAX = 64
+
+
+def _plus_bucket_schema(df: DataFrame, kind: str):
+    """df's schema + a bucket column — built FRESH: StructType.add
+    mutates in place, and df.schema hands back the DataFrame's cached
+    instance, so .add() would poison the source DataFrame's own
+    column list."""
+    from pyspark.sql import types as T
+
+    t = T.LongType() if kind == "long" else T.IntegerType()
+    return T.StructType(
+        list(df.schema.fields) + [T.StructField("bucket", t)]
+    )
+
+
+def _matrix_bucket_fn(mat: np.ndarray, vec_col: str,
+                      score_round: int | None, kind: str):
+    """mapInPandas kernel: kind='signs' → banded sign code (long),
+    kind='argmax' → nearest-centroid index (int). Tie-breaking matches
+    the literal path exactly: argmax ties pick the HIGHEST index (the
+    array_max-over-struct semantics)."""
+    C = np.ascontiguousarray(mat, dtype=np.float64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            S = V @ C.T
+            if score_round is not None:
+                S = np.round(S, score_round)
+            if kind == "signs":
+                bits = (S > 0).astype(np.int64)
+                code = (bits << np.arange(C.shape[0], dtype=np.int64)).sum(
+                    axis=1
+                )
+                yield pdf.assign(bucket=pd.Series(code, index=pdf.index))
+            else:
+                idx = C.shape[0] - 1 - np.argmax(S[:, ::-1], axis=1)
+                yield pdf.assign(
+                    bucket=pd.Series(idx.astype(np.int32), index=pdf.index)
+                )
+
+    return fn
+
+
 def with_bucket(
     embeddings: DataFrame,
     planes: np.ndarray,
     vec_col: str = "embedding",
     score_round: int | None = None,
+    max_literal: int = LITERAL_CODEBOOK_MAX,
 ) -> DataFrame:
-    return embeddings.withColumn(
-        "bucket", bucket_code_col(F.col(vec_col), planes, score_round)
+    if len(planes) <= max_literal:
+        return embeddings.withColumn(
+            "bucket", bucket_code_col(F.col(vec_col), planes, score_round)
+        )
+    if len(planes) > 63:
+        raise ValueError("sign codes are packed into a long: <= 63 planes")
+    return embeddings.mapInPandas(
+        _matrix_bucket_fn(planes, vec_col, score_round, "signs"),
+        schema=_plus_bucket_schema(embeddings, "long"),
     )
 
 
@@ -252,15 +316,27 @@ def _centroid_scores(vec_col, centroids: np.ndarray,
 def with_ivf_bucket(
     embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "vec",
     score_round: int | None = None,
+    max_literal: int = LITERAL_CODEBOOK_MAX,
 ) -> DataFrame:
     """bucket = argmax_i dot(v, centroid_i) — struct array_max compares
     by score first, so the max struct carries the winning index (ties →
-    highest index; the SQL oracle orders (s DESC, i DESC) to match)."""
-    return embeddings.withColumn(
-        "bucket",
-        F.array_max(
-            _centroid_scores(F.col(vec_col), centroids, score_round)
-        ).getField("i"),
+    highest index; the SQL oracle orders (s DESC, i DESC) to match).
+
+    Codebooks above ``max_literal`` switch to the broadcast-matrix
+    mapInPandas argmax (identical tie-breaking, rank-identity-tested):
+    the literal path generates one array literal PER CENTROID, which
+    explodes the Catalyst plan long before a production IVF codebook
+    (4k-64k centroids) is reached."""
+    if len(centroids) <= max_literal:
+        return embeddings.withColumn(
+            "bucket",
+            F.array_max(
+                _centroid_scores(F.col(vec_col), centroids, score_round)
+            ).getField("i"),
+        )
+    return embeddings.mapInPandas(
+        _matrix_bucket_fn(centroids, vec_col, score_round, "argmax"),
+        schema=_plus_bucket_schema(embeddings, "int"),
     )
 
 
@@ -359,22 +435,61 @@ def cosine_topk_ivf(
         centroids,
         score_round=score_round,
     )
-    p = probes.select(
+    p0 = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
-    ).withColumn(
-        "buckets",
-        F.slice(
-            F.reverse(
-                F.array_sort(
-                    _centroid_scores(F.col("p_vec"), centroids, score_round)
-                )
-            ),
-            1,
-            nprobe,
-        ),
-    ).select(
-        "probe_id", "p_vec", F.explode("buckets.i").alias("bucket")
     )
+    if len(centroids) <= LITERAL_CODEBOOK_MAX:
+        p = p0.withColumn(
+            "buckets",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        _centroid_scores(F.col("p_vec"), centroids, score_round)
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        ).select(
+            "probe_id", "p_vec", F.explode("buckets.i").alias("bucket")
+        )
+    else:
+        # big codebook: top-nprobe centroid lists via one matmul per
+        # Arrow batch; tie order (s DESC, i DESC) matches the
+        # reverse(array_sort(struct)) of the literal path
+        C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+        def probe_fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(pdf["p_vec"].to_list(), dtype=np.float64)
+                S = V @ C.T
+                if score_round is not None:
+                    S = np.round(S, score_round)
+                n = C.shape[0]
+                rows = []
+                for r in range(len(pdf)):
+                    order = np.lexsort((-np.arange(n), -S[r]))[:nprobe]
+                    for b in order:
+                        rows.append(
+                            (pdf["probe_id"].iloc[r],
+                             pdf["p_vec"].iloc[r], int(b))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["probe_id", "p_vec", "bucket"]
+                )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            p0.schema["probe_id"],
+            p0.schema["p_vec"],
+            T.StructField("bucket", T.IntegerType()),
+        ])
+        p = p0.mapInPandas(probe_fn, schema=schema)
     scored = (
         base.join(F.broadcast(p), "bucket")
         .filter(F.col("vec_id") != F.col("probe_id"))

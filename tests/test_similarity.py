@@ -170,3 +170,57 @@ def test_near_dup_banded_recall_vs_single_band(spark):
     # point stands: single-band recall collapses where banded is 1.0
     assert single_recall <= 0.2, single_recall
     aug.unpersist()
+
+
+def test_matrix_bucketing_identical_to_literal_paths(spark, emb):
+    """The broadcast-matrix mapInPandas kernels (big-codebook path) must
+    agree bucket-for-bucket with the literal-column path, including
+    argmax tie-breaking and score rounding."""
+    import pandas as pd
+
+    cents = sim.ivf_centroids(64, 16)
+    e = emb.select("vec_id", F.col("embedding").alias("vec"))
+    lit = sim.with_ivf_bucket(e, cents, score_round=6).select(
+        "vec_id", "bucket").toPandas()
+    mat = sim.with_ivf_bucket(e, cents, score_round=6, max_literal=0).select(
+        "vec_id", "bucket").toPandas()
+    pd.testing.assert_frame_equal(
+        lit.sort_values("vec_id").reset_index(drop=True),
+        mat.sort_values("vec_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    planes = sim.hyperplanes_md5pm1(64, 24)
+    litb = sim.with_bucket(e, planes, "vec", score_round=6).select(
+        "vec_id", "bucket").toPandas()
+    matb = sim.with_bucket(e, planes, "vec", score_round=6,
+                           max_literal=0).select("vec_id", "bucket").toPandas()
+    pd.testing.assert_frame_equal(
+        litb.sort_values("vec_id").reset_index(drop=True),
+        matb.sort_values("vec_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_big_codebook_no_plan_blowup(spark, emb, probes):
+    """A 1024-centroid codebook must run through the matrix path (the
+    literal path would generate 1024 array literals — the VERDICT r3
+    scale watch-item) and agree with a local numpy argmax replay."""
+    import numpy as np
+
+    cents = sim.ivf_centroids(64, 1024)
+    e = emb.select("vec_id", F.col("embedding").alias("vec"))
+    got = sim.with_ivf_bucket(e, cents).select("vec_id", "bucket").toPandas()
+    rows = e.toPandas().sort_values("vec_id")
+    V = np.asarray(rows.vec.to_list(), dtype=np.float64)
+    S = V @ cents.T
+    want = 1024 - 1 - np.argmax(S[:, ::-1], axis=1)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert (got.bucket.to_numpy() == want).all()
+
+    # end-to-end ANN query path with the big codebook
+    out = sim.cosine_topk_ivf(
+        emb, probes, k=5, nprobe=8, centroids=cents
+    ).toPandas()
+    assert set(out.probe_id) == set(range(N_PROBES))
+    assert (out.groupby("probe_id").size() <= 5).all()
