@@ -7,14 +7,24 @@ layout), as DataFrame one-liners:
 
   t  <term>        term stats: df, cf                 (cpp :471-507)
   tp <term>        inverted list WITH positions       (cpp :425-470)
-  e  <expr>        per-doc match counts for an Indri count expression
-                   (term / #odN / #uwN / #uw(#4(..) ..))  (cpp :245-269)
+  e  <expr>        per-EXTENT matches for an Indri count expression
+                   (term / #odN / #uwN / #uw(#4(..) ..)): one
+                   `doc_id weight begin end` line per match extent,
+                   weight fixed at 1, end = inclusive last-token
+                   position (cpp :245-269 prints the same per-extent
+                   shape from env.expressionList; Indri's end is
+                   exclusive — documented deviation)
   x  <expr>        total occurrence count of <expr>   (cpp :38-47)
   dx <expr>        count of docs containing <expr>    (cpp :29-36)
-  fx <file>        x for every line of a file         (cpp :191-210)
-  ef <file>        matching doc names for every line  (cpp :94-130)
+  fx <file>        x for every line of a file, ALL lines evaluated in
+                   one batched Spark action            (cpp :191-210)
+  ef <file>        matching doc names for every line, one name PER
+                   MATCH EXTENT (cpp :94-130 prints one result per
+                   extent); batched like fx
   efb <file>       brief form: lines are `expr:doc1,doc2,...`; prints
-                   `expr:n,names-in-given-list,:orig` (cpp :49-92)
+                   `expr:n,names-in-given-list,:orig` with n = total
+                   extent count and names repeated per extent
+                   (cpp :49-92); batched like fx
   sCnet <file>     stem the 2nd/3rd comma fields of each line through
                    the rule stemmer (the reference calls a licensed
                    REST stemmer here; the local cascade stands in)
@@ -99,6 +109,34 @@ def _expr_lines(path: str) -> list:
     return out
 
 
+def _matches_batch(idx, exprs: list) -> dict:
+    """Evaluate every expression in ONE Spark action (the reference
+    batches the whole statement file into one pass, occuranceCount.cpp
+    :191-210). Returns {expr: [(doc_id, matches), ...] doc_id-sorted}."""
+    from .index.positions import expression_matches_batch
+    from .indriql import parse_count_expression
+
+    trees = [
+        (i, parse_count_expression(ex)) for i, ex in enumerate(exprs)
+    ]
+    rows = expression_matches_batch(_need_positional(idx), trees).collect()
+    out: dict = {ex: [] for ex in exprs}
+    for r in rows:
+        out[exprs[r["expr_id"]]].append((r["doc_id"], r["matches"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def _urls(idx, doc_ids) -> dict:
+    if not doc_ids:
+        return {}
+    rows = idx.docmap.filter(
+        F.col("doc_id").isin([int(d) for d in doc_ids])
+    ).collect()
+    return {r["doc_id"]: r["url"] for r in rows}
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2:
@@ -175,14 +213,25 @@ def main(argv=None) -> int:
             ps = " ".join(str(p) for p in r["positions"])
             print(f"{r['doc_id']} {len(r['positions'])} {r['dl']} {ps}")
     elif cmd == "e":
+        from .index.positions import expression_extents
+        from .indriql import parse_count_expression
+
         expr = " ".join(args)
         hdr = idx.vocab.agg(F.sum("cf")).head()[0]
         print(f"{expr} {hdr} {idx.n_docs}")
-        # every matching doc, like the reference (cpp :245-269) — no
-        # .show() row cap
-        rows = _matches(idx, expr).orderBy("doc_id").toLocalIterator()
+        # one line PER MATCH EXTENT `doc weight begin end`, like the
+        # reference's env.expressionList print (cpp :245-269); weight
+        # is 1 for count expressions, end is the inclusive last-token
+        # position — no row cap
+        rows = (
+            expression_extents(
+                _need_positional(idx), parse_count_expression(expr)
+            )
+            .orderBy("doc_id", "begin", "end")
+            .toLocalIterator()
+        )
         for r in rows:
-            print(f"{r['doc_id']}\t{r['matches']}")
+            print(f"{r['doc_id']}\t1\t{r['begin']}\t{r['end']}")
     elif cmd == "x":
         expr = " ".join(args)
         n = _matches(idx, expr).agg(F.sum("matches")).head()[0] or 0
@@ -191,32 +240,46 @@ def main(argv=None) -> int:
         expr = " ".join(args)
         print(f"{expr}:{_matches(idx, expr).count()}")
     elif cmd == "fx":
-        for line in _expr_lines(args[0]):
-            n = _matches(idx, line).agg(F.sum("matches")).head()[0] or 0
-            print(f"{line}:{n}")
+        lines = _expr_lines(args[0])
+        per = _matches_batch(idx, lines)
+        for line in lines:
+            print(f"{line}:{sum(m for _, m in per[line])}")
     elif cmd == "ef":
-        for line in _expr_lines(args[0]):
-            names = (
-                _matches(idx, line)
-                .join(idx.docmap, "doc_id")
-                .orderBy("doc_id")
-                .select("url")
-                .toLocalIterator()
-            )
-            print(f"{line}:" + ",".join(r["url"] for r in names) + ",")
+        # one name per match EXTENT (the reference's expressionList
+        # yields one result per extent, so a doc with m matches prints
+        # m times — cpp :94-130)
+        lines = _expr_lines(args[0])
+        per = _matches_batch(idx, lines)
+        urls = _urls(
+            idx, {d for v in per.values() for d, _ in v}
+        )
+        for line in lines:
+            names = [
+                urls[d] for d, m in per[line] for _ in range(m)
+            ]
+            print(f"{line}:" + ",".join(names) + ",")
     elif cmd == "efb":
-        # lines are `expr:docno1,docno2,...` — print match count and the
-        # intersection of matching docs with the given list (cpp :49-92)
-        for raw in _expr_lines(args[0]):
-            expr, _, given = raw.partition(":")
+        # lines are `expr:docno1,docno2,...` — print TOTAL EXTENT count
+        # and the per-extent names restricted to the given list
+        # (cpp :49-92: the leading number is extent count and names
+        # repeat per extent)
+        raws = _expr_lines(args[0])
+        exprs = [raw.partition(":")[0] for raw in raws]
+        # two raw lines may share an expression with different given
+        # lists; evaluate each distinct expression once
+        per = _matches_batch(idx, list(dict.fromkeys(exprs)))
+        urls = _urls(idx, {d for v in per.values() for d, _ in v})
+        for raw, expr in zip(raws, exprs):
+            given = raw.partition(":")[2]
             given_set = {g for g in given.split(",") if g}
-            m = _matches(idx, expr).join(idx.docmap, "doc_id")
-            # deterministic doc_id order (partition order is not stable
-            # across runs; the sibling `ef` branch sorts the same way)
-            rows = m.orderBy("doc_id").select("url").toLocalIterator()
-            urls = [r["url"] for r in rows]
-            hit = [u for u in urls if u in given_set]
-            print(f"{expr}:{len(urls)}," + ",".join(hit) + f",:{given}")
+            total = sum(m for _, m in per[expr])
+            hit = [
+                urls[d]
+                for d, m in per[expr]
+                if urls[d] in given_set
+                for _ in range(m)
+            ]
+            print(f"{expr}:{total}," + ",".join(hit) + f",:{given}")
     elif cmd == "dcf":
         idx.doc_len.filter(F.col("doc_id") == int(args[0])).show()
     elif cmd == "dn":

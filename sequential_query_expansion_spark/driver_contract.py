@@ -1317,6 +1317,22 @@ def q_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def indri_cfg_query_rows() -> list:
+    """The cfg-roundtrip query set: the frozen queries PLUS expanded
+    queries carrying underscored multiword concept tokens — X8's
+    `w.replace(" ","_")` (optParams/...coordAsc.ipynb cell 16, raw
+    ~966): the reference serializes multiword concept names as single
+    underscore-joined query tokens. Including them here makes the XML
+    serialize→parse roundtrip (and its oracle) verify that underscored
+    tokens survive escaping, tokenization, and weight normalization."""
+    extra = []
+    for i, cid in enumerate(sorted(CONCEPT_PHRASES), 1):
+        phrase = CONCEPT_PHRASES[cid]
+        extra.append((f"x{i:02d}", phrase.replace(" ", "_"), 0.5))
+        extra.append((f"x{i:02d}", phrase.split()[-1], 1.0))
+    return query_term_rows() + extra
+
+
 def q_indri_cfg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 Indri cfg sink closed end-to-end: serialize the frozen query
     set as an Indri `<parameters>` XML batch (write_indri_cfg, the shape
@@ -1324,7 +1340,9 @@ def q_indri_cfg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, and execute each `<text>#weight(...)` through the indriql
     parser. Output = the parsed per-query term weights (indriql
     normalizes #weight masses to sum 1); the oracle recomputes the
-    6-dp-serialized normalization from the raw query rows."""
+    6-dp-serialized normalization from the raw query rows. The query
+    set includes underscored multiword concept tokens (X8 — see
+    indri_cfg_query_rows)."""
     import re
     import tempfile
 
@@ -1332,7 +1350,7 @@ def q_indri_cfg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.trec import write_indri_cfg
 
     qt = spark.createDataFrame(
-        query_term_rows(), "qid string, term string, weight double"
+        indri_cfg_query_rows(), "qid string, term string, weight double"
     )
     path = tempfile.mkdtemp(prefix="sqe_cfg_") + "/queries.cfg"
     write_indri_cfg(qt, path)
@@ -2873,12 +2891,25 @@ SELECT k1, b, map, rank::BIGINT AS rank FROM (
 
     # S10 roundtrip: %.6f serialization of the raw weights, then the
     # parser's per-query #weight mass normalization
+    # serialized 6-dp weights -> per-clause normalized mass -> each
+    # ENGINE-TOKENIZER token of the clause's term string receives the
+    # full clause mass (indriql._flatten's term rule), summed per
+    # (qid, token). Tokenizing the term strings with the shared DuckDB
+    # tokenizer makes the underscored X8 tokens a cross-engine check.
+    cfg_vals = ",\n    ".join(
+        f"('{q}', '{t}', {w})" for q, t, w in indri_cfg_query_rows()
+    )
+    _cfg_tok = TOKENIZE_SQL_DUCKDB.format(col="term")
     sql["indri_cfg_roundtrip"] = f"""
-WITH {qterms},
-ser AS (SELECT qid, term, round(weight, 6) AS w FROM qterms)
-SELECT qid, term,
-       round(w / sum(w) OVER (PARTITION BY qid), 6) AS weight
-FROM ser
+WITH cfgq(qid, term, weight) AS (VALUES
+    {cfg_vals}),
+ser AS (SELECT qid, term, round(weight, 6) AS w FROM cfgq),
+norm AS (SELECT qid, term,
+                w / sum(w) OVER (PARTITION BY qid) AS nw
+         FROM ser),
+tokd AS (SELECT qid, unnest({_cfg_tok}) AS tok, nw FROM norm)
+SELECT qid, tok AS term, round(sum(nw), 6) AS weight
+FROM tokd GROUP BY qid, tok
 """
 
     qm = _sgml_qid_map()

@@ -95,24 +95,20 @@ def od_match_extents(pos: List[np.ndarray], n: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int64)
 
 
-def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
-    """Unordered window over child EXTENTS — `#uw( #4(a b) c ... )`.
-
-    Each child contributes (begin, end) extents; a match is a
-    left-minimal set of events (sorted by begin) holding >=1 extent of
-    every child whose covering span ``max(end) - min(begin) + 1 <= n``
-    (``n=None`` = unlimited, Indri's bare `#uw`). With single-position
-    extents this reduces EXACTLY to ``uw_count_py``'s kernel (ends ==
-    begins, so the span check is rp - lp + 1)."""
+def uw_match_extents(ext: List[np.ndarray], n: int | None) -> np.ndarray:
+    """(begin, end) span of every left-minimal `#uw` window that
+    ``uw_count_extents`` counts (len(result) == its count): begin = the
+    window's leftmost event begin, end = its max event end. Same kernel;
+    the counting variant below just takes the length."""
     k = len(ext)
     if k == 0 or any(len(e) == 0 for e in ext):
-        return 0
+        return np.empty((0, 2), dtype=np.int64)
     events = sorted(
         (int(b), int(e), i) for i, arr in enumerate(ext) for b, e in arr
     )
     cnt = [0] * k
     have = 0
-    res = 0
+    out = []
     left = 0
     # monotonic deque of event indices with decreasing end — the window
     # max(end) in O(1) per step instead of rescanning events[left:ri+1]
@@ -135,13 +131,27 @@ def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
                 left += 1
                 continue
             if n is None or events[maxq[0]][1] - lb + 1 <= n:
-                res += 1
+                out.append((lb, int(events[maxq[0]][1])))
             cnt[lt] -= 1
             have -= 1
             if maxq[0] == left:
                 maxq.popleft()
             left += 1
-    return res
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.asarray(out, dtype=np.int64)
+
+
+def uw_count_extents(ext: List[np.ndarray], n: int | None) -> int:
+    """Unordered window over child EXTENTS — `#uw( #4(a b) c ... )`.
+
+    Each child contributes (begin, end) extents; a match is a
+    left-minimal set of events (sorted by begin) holding >=1 extent of
+    every child whose covering span ``max(end) - min(begin) + 1 <= n``
+    (``n=None`` = unlimited, Indri's bare `#uw`). With single-position
+    extents this reduces EXACTLY to ``uw_count_py``'s kernel (ends ==
+    begins, so the span check is rp - lp + 1)."""
+    return int(len(uw_match_extents(ext, n)))
 
 
 def expression_count_py(tokens: Sequence[str], tree) -> int:
@@ -172,6 +182,21 @@ def expression_extents_py(tokens: Sequence[str], tree) -> np.ndarray:
             [_positions(tokens, t) for t in tree[2]], tree[1]
         )
     raise ValueError(f"#uw child must be a term or #odN group, got {kind!r}")
+
+
+def expression_all_extents_py(tokens: Sequence[str], tree) -> np.ndarray:
+    """Pure-Python oracle: (begin, end) extents of ANY count-expression
+    tree over one token sequence — terms give point extents, #odN the
+    greedy-chain spans, #uw the left-minimal covering windows. Row
+    count always equals ``expression_count_py``."""
+    kind = tree[0]
+    if kind in ("term", "od"):
+        return expression_extents_py(tokens, tree)
+    if kind == "uw":
+        _, n, children = tree
+        exts = [expression_extents_py(tokens, c) for c in children]
+        return uw_match_extents(exts, n)
+    raise ValueError(f"unknown count-expression node {kind!r}")
 
 
 def uw_count_py(tokens: Sequence[str], terms: Sequence[str], n: int) -> int:

@@ -30,6 +30,7 @@ from ..functions.positional import (
     od_count_positions,
     od_match_extents,
     uw_count_extents,
+    uw_match_extents,
 )
 
 
@@ -231,3 +232,81 @@ def expression_matches(positional: DataFrame, tree) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "matches": out_m})
 
     return joined.mapInPandas(uw_fn, schema="doc_id long, matches int")
+
+
+def expression_extents(positional: DataFrame, tree) -> DataFrame:
+    """Count-expression tree -> one row PER MATCH EXTENT
+    (doc_id, begin, end), Indri's `env.expressionList` shape — the
+    `dumpindex e/ef/efb` commands print per-extent results
+    (occuranceCount.cpp:245-269, :49-130). ``end`` is the inclusive
+    position of the extent's last token. Row counts always equal
+    ``expression_matches``'s per-doc `matches` sums (same kernels,
+    extent-emitting variants).
+
+    Same scale shape as expression_matches: candidates from posting
+    intersections, extent kernels over Arrow batches of survivors."""
+    kind = tree[0]
+    if kind == "term":
+        return positional.filter(F.col("term") == tree[1]).select(
+            "doc_id", F.explode("positions").alias("pos")
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("begin"),
+            F.col("pos").cast("long").alias("end"),
+        )
+    if kind == "od":
+        ce = _child_extents(positional, tree, "c0")
+        return ce.select(
+            "doc_id", F.explode(F.arrays_zip("c0_b", "c0_e")).alias("x")
+        ).select(
+            "doc_id",
+            F.col("x.c0_b").alias("begin"),
+            F.col("x.c0_e").alias("end"),
+        )
+    if kind != "uw":
+        raise ValueError(f"unknown count-expression node {kind!r}")
+    _, n, children = tree
+    parts = [
+        _child_extents(positional, c, f"c{i}") for i, c in enumerate(children)
+    ]
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    k = len(children)
+
+    def uwx_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_b, out_e = [], [], []
+            for row in pdf.itertuples(index=False):
+                ext = []
+                for i in range(k):
+                    b = np.asarray(getattr(row, f"c{i}_b"), dtype=np.int64)
+                    e = np.asarray(getattr(row, f"c{i}_e"), dtype=np.int64)
+                    ext.append(np.stack([b, e], axis=1))
+                w = uw_match_extents(ext, n)
+                for bb, ee in w:
+                    out_doc.append(row.doc_id)
+                    out_b.append(int(bb))
+                    out_e.append(int(ee))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "begin": out_b, "end": out_e}
+            )
+
+    return joined.mapInPandas(
+        uwx_fn, schema="doc_id long, begin long, end long"
+    )
+
+
+def expression_matches_batch(positional: DataFrame, trees) -> DataFrame:
+    """[(expr_id, tree)] -> (expr_id, doc_id, matches) as ONE unioned
+    plan, so an N-expression statement file (`dumpindex fx/ef/efb`,
+    occuranceCount.cpp:191-210 batches all lines into one pass) costs
+    ONE Spark action instead of a job per line. Each subplan still
+    prunes the positional scan to its own terms."""
+    outs = [
+        expression_matches(positional, t).select(
+            F.lit(int(i)).alias("expr_id"), "doc_id", "matches"
+        )
+        for i, t in trees
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs)

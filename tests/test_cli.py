@@ -95,15 +95,24 @@ def test_fx_and_ef_and_efb(capsys, idx_dir, tmp_path):
     out = _run(capsys, idx_dir, "ef", str(f))
     for ln, expr in zip(out.splitlines(), EXPRS[:4]):
         names = [u for u in ln.split(":", 1)[1].split(",") if u]
-        assert sorted(int(u) for u in names) == sorted(_oracle_counts(expr))
+        # one name PER EXTENT: doc repeated `matches` times (ADVICE r3
+        # parity fix — env.expressionList yields one result per extent)
+        want = sorted(
+            d for d, c in _oracle_counts(expr).items() for _ in range(c)
+        )
+        assert sorted(int(u) for u in names) == want
 
     fb = tmp_path / "brief.txt"
     fb.write_text(f"{EXPRS[1]}:0,4\n")      # doc 0 matches, doc 4 doesn't
     out = _run(capsys, idx_dir, "efb", str(fb))
     body = out.strip()
-    n_match = len(_oracle_counts(EXPRS[1]))
-    assert body.startswith(f"{EXPRS[1]}:{n_match},")
-    assert ",0," in body and ",4," not in body.split(":,")[0]
+    counts = _oracle_counts(EXPRS[1])
+    # leading count = TOTAL extent count; matching given-list names
+    # repeat once per extent
+    assert body.startswith(f"{EXPRS[1]}:{sum(counts.values())},")
+    assert body.split(":", 1)[1].split(",:")[0].split(",")[1:] == (
+        ["0"] * counts[0]
+    )
     assert body.endswith(":0,4")
 
 
@@ -142,6 +151,34 @@ def test_e_header_and_rows(capsys, idx_dir):
     head = out.splitlines()[0].split()
     total_terms = sum(len(tokenize_py(t)) for _, t in DOCS)
     assert int(head[-2]) == total_terms and int(head[-1]) == len(DOCS)
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_e_per_extent_rows_match_oracle(capsys, idx_dir, expr):
+    """`e` prints one `doc weight begin end` line per match EXTENT
+    (ADVICE r3 parity fix), agreeing with the pure-Python extent
+    oracle on every expression shape."""
+    from sequential_query_expansion_spark.functions.positional import (
+        expression_all_extents_py,
+    )
+
+    tree = parse_count_expression(expr)
+    want = []
+    for doc_id, text in DOCS:
+        for b, e in expression_all_extents_py(tokenize_py(text), tree):
+            want.append((doc_id, 1, int(b), int(e)))
+    out = _run(capsys, idx_dir, "e", expr)
+    got = [
+        tuple(int(x) for x in ln.split("\t"))
+        for ln in out.splitlines()[1:]
+        if ln.strip()
+    ]
+    assert sorted(got) == sorted(want), expr
+    # per-extent rows aggregate back to the per-doc match counts
+    per_doc: dict = {}
+    for d, _, _, _ in got:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert per_doc == _oracle_counts(expr)
 
 
 def test_merge_command(capsys, spark, tmp_path_factory):
