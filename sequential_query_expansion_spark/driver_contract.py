@@ -427,6 +427,30 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-snapshot) build queried with the standard
+    BM25 scorer: the corpus lands as two separate file drops, each
+    ingested by its own Structured Streaming run into a posting SEGMENT
+    (exactly-once via the stream checkpoint), then ``compact_segments``
+    merges them with the usual salted term-major merge — the continuous
+    version of the reference's by-hand repository merge (`dumpindex m`,
+    occuranceCount.cpp:700-708). The merged index is identical to a
+    batch build over the same docs by construction, so this entry shares
+    bm25_topk's DuckDB oracle: the value hash proves the stream-built
+    index ranks exactly like the from-scratch one."""
+    from .webtext import incremental_index
+
+    idx = incremental_index(spark, sf_dir)
+    qt = query_term_table(queries_df(spark))
+    out = score_topk(idx, qt, k=TOPK, rank_round=RANK_ROUND)
+    return out.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", SCORE_ROUND).alias("score"),
+    )
+
+
 def q_local_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier BM25 top-k: ``LocalSearcher`` answers the query set
     straight off the checkpointed blocked index (client-side xxh64
@@ -2206,6 +2230,9 @@ FROM topk WHERE rank <= {TOPK}
     sql["bm25_topk_wand"] = sql["bm25_topk"]
     # ... and so must the serving tier reading the same index off disk
     sql["local_wand_topk"] = sql["bm25_topk"]
+    # ... and the streaming-segment incremental build (index-identical
+    # to the batch build over the same docs, so same ranking)
+    sql["incremental_topk"] = sql["bm25_topk"]
 
     # Dirichlet query likelihood (method:dir, mu:1600). C = Σ cf; docs
     # matching ≥1 query term score Σ w·ln(1 + tf·C/(mu·cf)) + W_q·ln(mu/(dl+mu)).
@@ -3463,6 +3490,7 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "incremental_topk": q_incremental_topk,
     "local_wand_topk": q_local_wand_topk,
     "local_lm_topk": q_local_lm_topk,
     "local_two_stage_topk": q_local_two_stage_topk,

@@ -31,7 +31,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,14 +112,25 @@ def build_index_checkpointed(
     feedback docs' vectors through parquet row-group doc_id pruning."""
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir)
+    # The four post-`flat` stages run CONCURRENTLY on threads (they are
+    # mutually independent Spark jobs); manifest + metrics mutations are
+    # serialized behind this lock so resume bookkeeping stays atomic and
+    # the append-mode metrics writes never share a _temporary dir.
+    man_lock = threading.Lock()
 
     def stage_done(name: str) -> bool:
-        return name in man["stages"]
+        with man_lock:
+            return name in man["stages"]
 
     def mark_stage(name: str) -> None:
-        if name not in man["stages"]:
-            man["stages"].append(name)
-            _save_manifest(out_dir, man)
+        with man_lock:
+            if name not in man["stages"]:
+                man["stages"].append(name)
+                _save_manifest(out_dir, man)
+
+    def append_metrics(stage: str, df_metrics: DataFrame) -> None:
+        with man_lock:
+            _append_metrics(spark, out_dir, stage, df_metrics)
 
     flat_path = os.path.join(out_dir, "postings_flat")
 
@@ -165,9 +178,10 @@ def build_index_checkpointed(
     flat = spark.read.parquet(flat_path)
     postings_path = os.path.join(out_dir, "postings")
 
-    if not stage_done("blocked"):
+    def _stage_blocked() -> None:
         all_buckets = set(range(num_buckets))
-        done = set(man["buckets_done"])
+        with man_lock:
+            done = set(man["buckets_done"])
         todo = sorted(all_buckets - done)
         if todo:
             # Crash window: a previous run may have committed bucket=NN
@@ -193,17 +207,20 @@ def build_index_checkpointed(
             written = spark.read.parquet(postings_path).filter(
                 F.col("bucket").isin(todo)
             )
-            _append_metrics(
-                spark, out_dir, "blocked",
+            append_metrics(
+                "blocked",
                 written.groupBy(F.col("bucket").alias("partition_id")).agg(
                     F.count("*").alias("rows")
                 ).withColumn("wall_ms_total", F.lit(wall_ms)),
             )
-            man["buckets_done"] = sorted(done | set(todo))
-            _save_manifest(out_dir, man)
+            with man_lock:
+                man["buckets_done"] = sorted(
+                    set(man["buckets_done"]) | set(todo)
+                )
+                _save_manifest(out_dir, man)
         mark_stage("blocked")
 
-    if with_doc_vectors and not stage_done("doc_vectors"):
+    def _stage_doc_vectors() -> None:
         # forward index, ONE global doc_id sort so the serving tier's
         # fb-doc fetch prunes row groups (same publish-time-sort policy
         # as the docmap); range-partitioned on doc_id by the sort, so at
@@ -212,26 +229,24 @@ def build_index_checkpointed(
         flat.drop("bucket").select("doc_id", "term", "tf", "dl").sort(
             "doc_id", "term"
         ).write.mode("overwrite").parquet(dv_path)
-        _append_metrics(
-            spark, out_dir, "doc_vectors",
-            _partition_metrics(spark.read.parquet(dv_path)),
+        append_metrics(
+            "doc_vectors", _partition_metrics(spark.read.parquet(dv_path))
         )
         mark_stage("doc_vectors")
 
-    if with_docs and not stage_done("docs"):
+    def _stage_docs() -> None:
         # stored document table — Indri's CompressedCollection (parquet
         # columns are already compressed), backing `dumpindex dt/dd/dcsv`
         # (occuranceCount.cpp:516-523, :551-593, :595-630). Sorted by
         # doc_id so point fetches prune row groups, same policy as docmap.
         docs_path = os.path.join(out_dir, "docs")
         docs.sort("doc_id").write.mode("overwrite").parquet(docs_path)
-        _append_metrics(
-            spark, out_dir, "docs",
-            _partition_metrics(spark.read.parquet(docs_path)),
+        append_metrics(
+            "docs", _partition_metrics(spark.read.parquet(docs_path))
         )
         mark_stage("docs")
 
-    if with_positions and not stage_done("positional"):
+    def _stage_positional() -> None:
         from ..functions.text import tokenize_col
         from .positions import build_positional_postings
 
@@ -243,11 +258,33 @@ def build_index_checkpointed(
         )
         pos_path = os.path.join(out_dir, "positional")
         pos.write.mode("overwrite").partitionBy("bucket").parquet(pos_path)
-        _append_metrics(
-            spark, out_dir, "positional",
-            _partition_metrics(spark.read.parquet(pos_path)),
+        append_metrics(
+            "positional", _partition_metrics(spark.read.parquet(pos_path))
         )
         mark_stage("positional")
+
+    # Everything after `flat` is an independent Spark job chain over
+    # either the flat checkpoint or the raw docs — run the pending ones
+    # concurrently so a cluster's executors stay busy through each
+    # stage's scheduling/commit tail instead of idling between four
+    # serial jobs. Resume semantics are unchanged: each stage still
+    # marks itself in the manifest only after its own writes commit.
+    pending = []
+    if not stage_done("blocked"):
+        pending.append(_stage_blocked)
+    if with_doc_vectors and not stage_done("doc_vectors"):
+        pending.append(_stage_doc_vectors)
+    if with_docs and not stage_done("docs"):
+        pending.append(_stage_docs)
+    if with_positions and not stage_done("positional"):
+        pending.append(_stage_positional)
+    if len(pending) == 1:
+        pending[0]()
+    elif pending:
+        with ThreadPoolExecutor(max_workers=len(pending)) as pool:
+            futures = [pool.submit(fn) for fn in pending]
+            for fut in futures:
+                fut.result()   # propagate the first stage failure
 
     return load_index(spark, out_dir)
 

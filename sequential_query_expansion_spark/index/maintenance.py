@@ -30,6 +30,8 @@ import json
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,31 +208,35 @@ def compact_index(spark: SparkSession, out_dir: str,
                 "an empty index — remove the index directory instead"
             )
 
-    if tomb is not None:
-        # bucket-pruned rewrite: only buckets holding tombstoned rows
-        affected = sorted(
-            r["bucket"]
-            for r in flat_all.join(F.broadcast(tomb), "doc_id", "left_semi")
-            .select("bucket").distinct().collect()
+    def _rw_flat() -> None:
+        if tomb is not None:
+            # bucket-pruned rewrite: only buckets holding tombstoned rows
+            affected = sorted(
+                r["bucket"]
+                for r in flat_all
+                .join(F.broadcast(tomb), "doc_id", "left_semi")
+                .select("bucket").distinct().collect()
+            )
+        else:
+            # pure small-file compaction: every bucket → one file
+            affected = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(flat_root)
+                if d.startswith("bucket=")
+            )
+        _rewrite_buckets(spark, flat_root, affected, tomb)
+        _append_metrics(
+            spark, out_dir, "compact_flat",
+            spark.createDataFrame(
+                [(b, 1) for b in affected] or [(-1, 0)],
+                "partition_id int, rows long",
+            ),
         )
-    else:
-        # pure small-file compaction: every bucket → one file
-        affected = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(flat_root)
-            if d.startswith("bucket=")
-        )
-    _rewrite_buckets(spark, flat_root, affected, tomb)
-    _append_metrics(
-        spark, out_dir, "compact_flat",
-        spark.createDataFrame(
-            [(b, 1) for b in affected] or [(-1, 0)],
-            "partition_id int, rows long",
-        ),
-    )
-    # positional stage (if built): same bucket-pruned rewrite
+
     pos_root = os.path.join(out_dir, "positional")
-    if os.path.isdir(pos_root):
+
+    def _rw_positional() -> None:
+        # positional stage (if built): same bucket-pruned rewrite
         if tomb is not None:
             pos_affected = sorted(
                 r["bucket"]
@@ -246,33 +252,59 @@ def compact_index(spark: SparkSession, out_dir: str,
             )
         _rewrite_buckets(spark, pos_root, pos_affected, tomb)
 
+    def _rw_doc_table(name: str) -> None:
+        p = os.path.join(out_dir, name)
+        tmp = p + ".compact.tmp"
+        # crash recovery (a previous run dying between rmtree(p) and
+        # os.replace(tmp, p)) already ran above, before the
+        # zero-survivor guard's docmap read
+        if name in ("doc_vectors", "docs") and not os.path.isdir(p):
+            return  # optional stages, never published
+        kept = spark.read.parquet(p).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        ).sort("doc_id")  # keep the publish-time doc_id sort
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p)
+        os.replace(tmp, p)
+
+    # The flat rewrite, positional rewrite, and each doc-table rewrite
+    # touch disjoint directories and disjoint Spark inputs — run them as
+    # concurrent jobs instead of six serial ones (same per-table swap
+    # atomicity; the _COMPACTING sentinel already fences readers for the
+    # whole window, so intermediate orderings are unobservable).
+    rewrites = [_rw_flat]
+    if os.path.isdir(pos_root):
+        rewrites.append(_rw_positional)
     if tomb is not None:
-        # doc tables
         for name in ("docmap", "doc_len", "doc_vectors", "docs"):
-            p = os.path.join(out_dir, name)
-            tmp = p + ".compact.tmp"
-            # crash recovery (a previous run dying between rmtree(p) and
-            # os.replace(tmp, p)) already ran above, before the
-            # zero-survivor guard's docmap read
-            if name in ("doc_vectors", "docs") and not os.path.isdir(p):
-                continue  # optional stages, never published
-            kept = spark.read.parquet(p).join(
-                F.broadcast(tomb), "doc_id", "left_anti"
-            ).sort("doc_id")  # keep the publish-time doc_id sort
-            kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(p)
-            os.replace(tmp, p)
+            rewrites.append(partial(_rw_doc_table, name))
+    if len(rewrites) == 1:
+        rewrites[0]()
+    else:
+        with ThreadPoolExecutor(max_workers=len(rewrites)) as pool:
+            for fut in [pool.submit(fn) for fn in rewrites]:
+                fut.result()
 
     flat = spark.read.parquet(flat_root).drop("bucket")
-    vocab = flat.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
-    vp = os.path.join(out_dir, "vocab")
-    tmpv = vp + ".compact.tmp"
-    vocab.write.mode("overwrite").parquet(tmpv)
-    if os.path.isdir(vp):
-        shutil.rmtree(vp)
-    os.replace(tmpv, vp)
+
+    def _refresh_vocab() -> None:
+        vocab = flat.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        vp = os.path.join(out_dir, "vocab")
+        tmpv = vp + ".compact.tmp"
+        vocab.write.mode("overwrite").parquet(tmpv)
+        if os.path.isdir(vp):
+            shutil.rmtree(vp)
+        os.replace(tmpv, vp)
+
+    # vocab refresh is independent of the blocked re-encode below (which
+    # only needs the refreshed stats) — overlap it with the long pole;
+    # the future is joined before the tombstones/sentinel are cleared,
+    # and a vocab failure (sentinel left in place) is repaired by simply
+    # re-running compact, same as every other partial state
+    vocab_pool = ThreadPoolExecutor(max_workers=1)
+    vocab_fut = vocab_pool.submit(_refresh_vocab)
 
     agg = spark.read.parquet(os.path.join(out_dir, "doc_len")).agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -315,6 +347,10 @@ def compact_index(spark: SparkSession, out_dir: str,
     os.replace(sp + ".tmp", sp)          # atomic: stats+blocked now agree
     if os.path.isdir(old_bp):
         shutil.rmtree(old_bp)
+    try:
+        vocab_fut.result()
+    finally:
+        vocab_pool.shutdown(wait=True)
 
     man = _load_manifest(out_dir)
     man["buckets_done"] = sorted(range(num_buckets))

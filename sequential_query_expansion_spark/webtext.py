@@ -14,6 +14,7 @@ reference's TREC topic sets exercise (configs/trec7n8/topics.351-400).
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from typing import Dict, List
 
@@ -120,6 +121,46 @@ def disk_index_dir(spark: SparkSession, sf_dir: str) -> str:
             num_buckets=8,
         )
         _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def incremental_index(spark: SparkSession, sf_dir: str):
+    """Memoized index built through the STREAMING incremental path
+    (streaming/incremental.py): the documents table lands as two
+    separate file drops, each picked up by its own availableNow stream
+    run into a posting segment, then ``compact_segments`` merges them.
+    Index-identical to the batch build over the same docs by
+    construction (regression-tested in test_streaming_train.py), which
+    is what lets the incremental contract entry share bm25_topk's
+    DuckDB oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (sf_dir, "incremental", id(spark))
+    if key not in _INDEX_CACHE:
+        from .streaming.incremental import (
+            compact_segments, start_incremental_build,
+        )
+
+        root = tempfile.mkdtemp(prefix="sqe_incr_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        in_dir = os.path.join(root, "in")
+        out_dir = os.path.join(root, "idx")
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        # two deterministic file drops -> two independent stream runs ->
+        # two segments; the merge result does not depend on the split
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite").parquet(os.path.join(in_dir, "batch_a"))
+        start_incremental_build(
+            spark, in_dir + "/*", out_dir).awaitTermination()
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite").parquet(os.path.join(in_dir, "batch_b"))
+        start_incremental_build(
+            spark, in_dir + "/*", out_dir).awaitTermination()
+        idx = compact_segments(spark, out_dir, build_blocked=False)
+        idx.postings_flat.persist().count()
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 
