@@ -1765,6 +1765,60 @@ def q_ivf_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 16         # subspaces → dsub = EMB_DIM / PQ_M = 4 dims each
+PQ_K = 16         # codewords per subspace (the 16 fixed rows, sliced)
+
+
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the corpus is encoded to m=16 one-byte
+    codes per vector (16× smaller than the float vectors) and scored by
+    ADC — per-probe lookup tables over INTEGER micro-units, so the
+    ranking sum is exact in any engine. Codebooks = the 16 fixed table
+    rows sliced per subspace (same rows as the IVF entries), so DuckDB
+    rebuilds encode + LUT + ranking value-for-value. m·k = 256 > the
+    literal-plan cap, so this entry's green row is the broadcast-tensor
+    mapInPandas SCALE path under a value oracle."""
+    emb = load_embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS))
+    cbs = similarity.pq_codebooks_from_rows(_ivf_fixed_codebook(emb), PQ_M)
+    out = similarity.pq_topk_adc(
+        emb, probes.select(F.col("vec_id").alias("probe_id"), "embedding"),
+        cbs, k=TOPK, score_round=RANK_ROUND,
+    )
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("adist_u").cast("long").alias("adist_u"),
+    )
+
+
+def q_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of the PQ codebook trainer — all
+    16 subspaces in ONE assignment job + ONE groupBy. Init = the fixed-row
+    codebooks the ADC entry queries with; assignment = pq_encode's own
+    rounded argmin (training and encoding share the kernel). The oracle
+    replays assignment + per-dim means in SQL, so bucket counts AND every
+    codeword coordinate hash-match."""
+    emb = load_embeddings(spark, sf_dir)
+    counts: dict = {}
+    cbs = similarity.pq_train(
+        emb, iters=1,
+        init=similarity.pq_codebooks_from_rows(_ivf_fixed_codebook(emb), PQ_M),
+        score_round=RANK_ROUND, counts_out=counts,
+    )
+    dsub = cbs.shape[2]
+    out = []
+    for (j, code) in sorted(counts):
+        for d in range(dsub):
+            out.append(
+                (j, code, counts[(j, code)], d, round(float(cbs[j, code, d]), 5))
+            )
+    return spark.createDataFrame(
+        out, "j long, code long, n long, dim long, c double"
+    )
+
+
 COS_PAIR_THRESHOLD = 0.45
 
 # --- banded near-dup fixture (round 4) -------------------------------------
@@ -3362,6 +3416,72 @@ FROM (SELECT bucket, count(*)::BIGINT AS n FROM a{fin} GROUP BY bucket) cnt
 JOIN c{fin} ON c{fin}.i = cnt.bucket, dims d
 """
 
+    # PQ: codebooks = the fixed rows sliced into PQ_M subspaces; encode =
+    # rounded argmin per (vec, subspace) with ties -> lowest codeword;
+    # ADC = integer micro-unit LUT sums (exact — no float accumulation).
+    # dist_u = round(round(sqdist, R) * 1e6): for a 6-dp-rounded double,
+    # *1e6 is within 1e-9 of an integer, so the int recovery is exact and
+    # order-identical to comparing the rounded doubles themselves.
+    pq_dsub = EMB_DIM // PQ_M
+    pq_sq = f"""
+sq AS (
+  SELECT e.vec_id, s.j, c.i,
+         CAST(round(round(sum(pow(e.v[s.j * {pq_dsub} + d.d + 1]
+                                  - c.v[s.j * {pq_dsub} + d.d + 1], 2)),
+                          {RANK_ROUND}) * 1000000, 0) AS BIGINT) AS dist_u
+  FROM e, generate_series(0, {PQ_M - 1}) AS s(j), cents c,
+       generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY e.vec_id, s.j, c.i),
+codes AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist_u ASC, i ASC) AS rn
+    FROM sq) WHERE rn = 1)"""
+    sql["pq_topk_adc"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+{pq_sq},
+lut AS (
+  SELECT vec_id AS probe_id, j, i, dist_u FROM sq
+  WHERE vec_id IN ({probe_list})),
+adist AS (
+  SELECT l.probe_id, c.vec_id, sum(l.dist_u)::BIGINT AS adist_u
+  FROM codes c JOIN lut l ON l.j = c.j AND l.i = c.code
+  WHERE c.vec_id <> l.probe_id
+  GROUP BY l.probe_id, c.vec_id),
+pranked AS (
+  SELECT probe_id, vec_id, adist_u,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adist_u ASC, vec_id ASC) AS rank
+  FROM adist)
+SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, adist_u
+FROM pranked WHERE rank <= {TOPK}
+"""
+
+    # one Lloyd step of the PQ trainer: same fixed-row codebooks + the
+    # SAME rounded-argmin assignment as pq_topk_adc's encode, then
+    # per-dim means per (subspace, codeword)
+    sql["pq_train_step"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+{pq_sq},
+mu AS (
+  SELECT c.j, c.code, d.d AS dim,
+         avg(e.v[c.j * {pq_dsub} + d.d + 1]) AS m, count(*)::BIGINT AS n
+  FROM codes c JOIN e USING (vec_id),
+       generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY c.j, c.code, d.d)
+SELECT j::BIGINT AS j, code::BIGINT AS code, n, dim::BIGINT AS dim,
+       round(m, 5) AS c
+FROM mu
+"""
+
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -3474,6 +3594,9 @@ SPARK_QUERIES = {
     "live_delete_topk": q_live_delete_topk,
     "merge_then_query": q_merge_then_query,
     "ivf_train_multi": q_ivf_train_multi,
+    # round-4 additions (never driver-verified -> early)
+    "pq_topk_adc": q_pq_topk_adc,            # PQ codes + integer ADC
+    "pq_train_step": q_pq_train_step,        # PQ codebook trainer
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,

@@ -506,6 +506,329 @@ def cosine_topk_ivf(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compact codes + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+#
+# The 100 TB memory story for ANN: a 64-dim float32 vector is 256 bytes;
+# its PQ code (m subspaces × 1 byte) is m bytes — a 32× compression at
+# m=8 that turns "the vectors don't fit" into "the codes fit in RAM".
+# Queries never decompress: ADC (asymmetric distance computation) scores
+# a coded vector as Σ_j LUT[j][code_j] where the per-query LUT holds the
+# exact query-subvector↔codeword distances — one table of m×k doubles
+# per query, computed once. Combine with `with_ivf_bucket` for the
+# classic IVF-PQ layout (coarse lists → ADC within the probed lists).
+
+
+def pq_split(dim: int, m: int) -> int:
+    """Subspace width; PQ requires m to divide the dimension evenly."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    return dim // m
+
+
+def pq_codebooks_from_rows(rows: np.ndarray, m: int) -> np.ndarray:
+    """(k, dim) sample rows → (m, k, dsub) codebooks: subspace j's
+    codewords are the j-th slices of the SAME k rows. A deterministic
+    'sample codebook' a SQL oracle can rebuild from the table itself —
+    `pq_train` output drops into the same parameter."""
+    rows = np.asarray(rows, dtype=np.float64)
+    dsub = pq_split(rows.shape[1], m)
+    return np.stack(
+        [rows[:, j * dsub:(j + 1) * dsub] for j in range(m)], axis=0
+    )
+
+
+def _sqdist(a, b):
+    """Left-fold Σ (x-y)² — the same op order as the numpy kernels'
+    sequential last-axis sum, so literal and matrix paths agree."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_encode_fn(codebooks: np.ndarray, vec_col: str,
+                  score_round: int | None):
+    """mapInPandas kernel: per Arrow batch, one (n, k) distance matrix
+    per subspace; codes = argmin with ties → LOWEST index (np.argmin),
+    matching the literal path's array_min-over-struct order."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = C.shape
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                D = ((V[:, j * dsub:(j + 1) * dsub, None]
+                      - C[j].T[None, :, :]) ** 2).sum(axis=1)
+                if score_round is not None:
+                    D = np.round(D, score_round)
+                codes[:, j] = np.argmin(D, axis=1)
+            yield pdf.assign(
+                codes=pd.Series(list(codes), index=pdf.index)
+            )
+
+    return fn
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "vec",
+    score_round: int | None = None,
+    max_literal: int = LITERAL_CODEBOOK_MAX,
+) -> DataFrame:
+    """Append ``codes`` (array<int>, length m): codes[j] = argmin_i of
+    the squared L2 distance between the j-th subvector and codeword i
+    (ties → lowest i). Codebooks with more than ``max_literal`` total
+    codewords switch from literal column algebra to the broadcast-tensor
+    mapInPandas kernel (rank-identity-tested against the literal path);
+    ``score_round`` rounds distances before the argmin so a cross-engine
+    oracle cannot flip a near-tie."""
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = codebooks.shape
+    if m * k > max_literal:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(embeddings.schema.fields)
+            + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+        )
+        return embeddings.mapInPandas(
+            _pq_encode_fn(codebooks, vec_col, score_round), schema=schema
+        )
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        entries = []
+        for i in range(k):
+            lit_c = F.array(*[F.lit(float(x)) for x in codebooks[j, i]])
+            d = _sqdist(sub, lit_c)
+            if score_round is not None:
+                d = F.round(d, score_round)
+            entries.append(F.struct(d.alias("s"), F.lit(i).alias("i")))
+        # array_min on struct: min (s asc, then i asc) → ties pick LOWEST i
+        code_cols.append(F.array_min(F.array(*entries)).getField("i"))
+    return embeddings.withColumn("codes", F.array(*code_cols))
+
+
+def pq_lut(probe_vec: np.ndarray, codebooks: np.ndarray,
+           score_round: int | None = None) -> np.ndarray:
+    """(m, k) BIGINT micro-unit LUT for one query: entry [j, i] =
+    round(‖q_j − c_{j,i}‖² · 10⁶). Integer entries make the ADC sum
+    EXACT — no cross-engine float-accumulation risk in the ranking."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = C.shape
+    q = np.asarray(probe_vec, dtype=np.float64)
+    lut = np.empty(C.shape[:2], dtype=np.int64)
+    for j in range(m):
+        d = ((q[j * dsub:(j + 1) * dsub][None, :] - C[j]) ** 2).sum(axis=1)
+        if score_round is not None:
+            d = np.round(d, score_round)
+        lut[j] = np.round(d * 1e6).astype(np.int64)
+    return lut
+
+
+def pq_topk_adc(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    score_round: int | None = None,
+    refine: int | None = None,
+) -> DataFrame:
+    """Approximate top-k nearest (squared-L2) neighbors via PQ codes +
+    per-probe ADC lookup tables.
+
+    The big side is encoded ONCE (m small ints per vector — at scale the
+    codes are a written artifact, re-encoded only when the codebook
+    changes) and never shuffled; probes are collected driver-side (the
+    reference-query-set shape: a handful of rows), their LUTs computed
+    in numpy, and broadcast. Scoring is pure JVM column algebra:
+    adist_u = Σ_j lut[j][code_j] over integer micro-units — exact, so
+    ranking is reproducible bit-for-bit in any engine. Output:
+    (probe_id, vec_id, rank, adist_u).
+
+    ``refine``: if set, the ADC pass keeps a shortlist of refine·k per
+    probe and a second stage re-ranks it with EXACT squared distances —
+    the classic PQ+refine layout. Only the shortlist's vectors are ever
+    read back (probes × refine·k rows — a broadcast-sized join against
+    the full table), so the quantization coarseness bounds recall only
+    through shortlist membership, not final ordering; adist_u is then
+    the exact distance in the same micro-units."""
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    coded = pq_encode(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ),
+        codebooks,
+        score_round=score_round,
+    ).select("vec_id", "codes")
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    ).collect()  # probe side only — never the corpus
+    spark = embeddings.sparkSession
+    lut_rows = [
+        (r["probe_id"],
+         [[int(x) for x in row]
+          for row in pq_lut(r["p_vec"], codebooks, score_round)])
+        for r in probe_rows
+    ]
+    p = spark.createDataFrame(
+        lut_rows, "probe_id long, lut array<array<bigint>>"
+    )
+    scored = (
+        coded.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "adist_u",
+            F.aggregate(
+                F.zip_with(
+                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "probe_id", "vec_id", "rank", "adist_u"
+        )
+    short = ranked.filter(F.col("rank") <= refine * k).select(
+        "probe_id", "vec_id"
+    )
+    pv = spark.createDataFrame(
+        [(r["probe_id"], [float(x) for x in r["p_vec"]]) for r in probe_rows],
+        "probe_id long, p_vec array<double>",
+    )
+    exact = (
+        short.join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(pv), "probe_id")
+        .withColumn("d", _sqdist(F.col("vec"), F.col("p_vec")))
+    )
+    d = F.round("d", score_round) if score_round is not None else F.col("d")
+    exact = exact.withColumn(
+        "adist_u", F.round(d * 1e6, 0).cast("long")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "adist_u")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    init: np.ndarray | None = None,
+    score_round: int | None = None,
+    codebook_round: int | None = None,
+    counts_out: dict | None = None,
+) -> np.ndarray:
+    """Distributed PQ codebook training: plain-L2 Lloyd's, all m
+    subspaces in ONE job per iteration.
+
+    Each vector explodes into m (subspace, subvector) rows; assignment
+    runs the SAME rounded-argmin kernel as ``pq_encode`` (training and
+    encoding can never disagree); the recompute is one groupBy
+    (subspace, code) with per-dim partial sums — map-side combine means
+    m × k × (dsub + 1) doubles cross the wire per iteration regardless
+    of corpus size. Empty clusters keep their previous codeword.
+    ``codebook_round`` pins each iteration's codebooks so a SQL oracle
+    can replay the trajectory (same rationale as ``ivf_train``'s
+    centroid_round). ``counts_out``: filled with the final iteration's
+    {(subspace, code): n}."""
+    if init is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+        rng = np.random.default_rng(seed + 2)
+        cb = rng.standard_normal((m, n_codes, pq_split(dim, m)))
+    else:
+        cb = np.asarray(init, dtype=np.float64).copy()
+        m, n_codes, _ = cb.shape
+    dsub = cb.shape[2]
+    subs = embeddings.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(
+                        F.transform(vec_col, lambda x: x.cast("double")),
+                        j * dsub + 1, dsub,
+                    ).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s")
+    ).select("s.j", "s.sv")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("sv", d + 1)).alias(f"s{d}") for d in range(dsub)
+    ]
+    for _ in range(iters):
+        C = np.ascontiguousarray(cb)
+
+        def assign_fn(batches, C=C):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_codes = np.empty(len(pdf), dtype=np.int32)
+                jv = pdf["j"].to_numpy()
+                V = np.asarray(pdf["sv"].to_list(), dtype=np.float64)
+                for j in np.unique(jv):
+                    rows = jv == j
+                    D = ((V[rows][:, :, None]
+                          - C[j].T[None, :, :]) ** 2).sum(axis=1)
+                    if score_round is not None:
+                        D = np.round(D, score_round)
+                    out_codes[rows] = np.argmin(D, axis=1)
+                yield pdf.assign(code=pd.Series(out_codes, index=pdf.index))
+
+        assigned = subs.mapInPandas(
+            assign_fn, schema="j int, sv array<double>, code int"
+        )
+        rows = assigned.groupBy("j", "code").agg(*aggs).collect()
+        new = cb.copy()
+        if counts_out is not None:
+            counts_out.clear()
+        for r in rows:
+            if counts_out is not None:
+                counts_out[(int(r["j"]), int(r["code"]))] = int(r["n"])
+            new[r["j"], r["code"]] = np.array(
+                [r[f"s{d}"] for d in range(dsub)], dtype=np.float64
+            ) / float(r["n"])
+        cb = new
+        if codebook_round is not None:
+            cb = np.round(cb, codebook_round)
+    return cb
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

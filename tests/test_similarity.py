@@ -224,3 +224,128 @@ def test_big_codebook_no_plan_blowup(spark, emb, probes):
     ).toPandas()
     assert set(out.probe_id) == set(range(N_PROBES))
     assert (out.groupby("probe_id").size() <= 5).all()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_codebooks(emb):
+    """The contract entries' deterministic codebooks: 16 fixed table
+    rows (vec_id 100-115) sliced into 16 subspaces."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col("vec_id").between(100, 115))
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    return sim.pq_codebooks_from_rows(
+        np.asarray(rows.embedding.to_list(), dtype=np.float64), 16
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_l2(emb, probes):
+    """Exact squared-L2 top-k per probe (PQ/ADC's metric — distinct from
+    the cosine `exact` fixture), replayed in numpy."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = rows.vec_id.to_numpy()
+    V = np.asarray(rows.embedding.to_list(), dtype=np.float64)
+    out = {}
+    for p in probes.select("probe_id", "embedding").collect():
+        d = ((V - np.asarray(p["embedding"], dtype=np.float64)) ** 2).sum(
+            axis=1
+        )
+        keep = ids != p["probe_id"]
+        order = np.lexsort((ids[keep], d[keep]))[:K]
+        out[p["probe_id"]] = set(ids[keep][order])
+    return out
+
+
+def test_pq_encode_matrix_identical_to_literal(emb, pq_codebooks):
+    """m·k = 256 routes to the broadcast-tensor kernel by default; the
+    literal column-algebra path (forced via max_literal) must agree
+    code-for-code, including rounded-argmin tie order."""
+    import pandas as pd
+
+    e = emb.select("vec_id", F.col("embedding").alias("vec"))
+    mat = sim.pq_encode(e, pq_codebooks, score_round=6).select(
+        "vec_id", "codes").toPandas()
+    lit = sim.pq_encode(e, pq_codebooks, score_round=6,
+                        max_literal=10_000).select(
+        "vec_id", "codes").toPandas()
+    mat = mat.sort_values("vec_id").reset_index(drop=True)
+    lit = lit.sort_values("vec_id").reset_index(drop=True)
+    assert [list(c) for c in mat.codes] == [list(c) for c in lit.codes]
+
+
+def test_pq_adc_recall_and_shape(emb, probes, pq_codebooks, exact_l2):
+    out = sim.pq_topk_adc(
+        emb, probes, pq_codebooks, k=K, score_round=6
+    ).toPandas()
+    assert set(out.probe_id) == set(range(N_PROBES))
+    assert (out.groupby("probe_id").size() == K).all()
+    assert (out.adist_u >= 0).all()
+    r = _recall(out, exact_l2)
+    # i.i.d. gaussians are the hardest-case input for PQ (no low-dim
+    # structure to exploit) — raw ADC recall is genuinely modest
+    # (measured 0.28 at m=16 on this fixture); the bound pins working
+    # plumbing. Quality at k comes from the refine stage below.
+    assert r >= 0.2, r
+
+    # PQ + exact re-rank: ADC keeps a 4k shortlist, stage 2 re-ranks it
+    # with exact distances — recall is then shortlist-bounded only
+    refined = sim.pq_topk_adc(
+        emb, probes, pq_codebooks, k=K, score_round=6, refine=4
+    ).toPandas()
+    assert (refined.groupby("probe_id").size() == K).all()
+    r_ref = _recall(refined, exact_l2)
+    assert r_ref >= r - 1e-9, (r_ref, r)
+    assert r_ref >= 0.55, r_ref
+
+
+def test_pq_train_reduces_quantization_error(emb, pq_codebooks):
+    """Lloyd steps on the PQ codebook must monotonically reduce the mean
+    squared quantization error (numpy replay of the objective), and
+    training must improve on the fixed-row init."""
+    import numpy as np
+
+    rows = emb.select("embedding").toPandas()
+    V = np.asarray(rows.embedding.to_list(), dtype=np.float64)
+
+    def mse(cb):
+        m, _, dsub = cb.shape
+        tot = 0.0
+        for j in range(m):
+            D = ((V[:, j * dsub:(j + 1) * dsub, None]
+                  - cb[j].T[None, :, :]) ** 2).sum(axis=1)
+            tot += D.min(axis=1).mean()
+        return tot
+
+    objs = [mse(pq_codebooks)]
+    cb = pq_codebooks
+    for _ in range(3):
+        cb = sim.pq_train(emb, iters=1, init=cb)
+        objs.append(mse(cb))
+    for a, b in zip(objs, objs[1:]):
+        assert b <= a + 1e-9, objs
+    assert objs[-1] < objs[0] * 0.95, objs
+
+
+def test_pq_trained_codebook_drops_into_adc(emb, probes, pq_codebooks,
+                                            exact_l2):
+    cb = sim.pq_train(emb, iters=3, init=pq_codebooks)
+    out = sim.pq_topk_adc(emb, probes, cb, k=K, score_round=6).toPandas()
+    r_trained = _recall(out, exact_l2)
+    r_init = _recall(
+        sim.pq_topk_adc(emb, probes, pq_codebooks, k=K,
+                        score_round=6).toPandas(),
+        exact_l2,
+    )
+    # training tightens the codebook -> recall should not collapse and
+    # typically improves on the raw fixed-row sample
+    assert r_trained >= r_init - 0.05, (r_trained, r_init)
+    assert r_trained >= 0.2, r_trained
