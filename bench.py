@@ -230,6 +230,9 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("minhash_dedup", dc.q_minhash_dedup)
     bench("simhash_pairs", dc.q_simhash_pairs)
     bench("cosine_topk", dc.q_cosine_topk)
+    # round-4 addition: PQ encode + integer-ADC ranking (the compact-code
+    # ANN path); new line, so absent from pre-r4 BENCH files
+    bench("pq_topk_adc", dc.q_pq_topk_adc)
     bench("eval_metrics", dc.q_eval_metrics)
 
     total = round(sum(timings.values()), 3)

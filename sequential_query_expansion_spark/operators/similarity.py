@@ -829,6 +829,152 @@ def pq_train(
     return cb
 
 
+def _ivfpq_encode_fn(centroids: np.ndarray, codebooks: np.ndarray,
+                     vec_col: str, score_round: int | None):
+    """mapInPandas kernel for the IVF-PQ big side: ONE pass computes the
+    L2-nearest coarse centroid (ties → lowest index) AND the PQ codes of
+    the RESIDUAL v − c_bucket. Residual coding is what makes IVF-PQ
+    tighter than flat PQ: within a list the residuals are small, so the
+    same codebook budget quantizes them with far less error."""
+    CC = np.ascontiguousarray(centroids, dtype=np.float64)
+    CB = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = CB.shape
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            D = ((V ** 2).sum(1, keepdims=True) - 2.0 * (V @ CC.T)
+                 + (CC ** 2).sum(1)[None, :])
+            if score_round is not None:
+                D = np.round(D, score_round)
+            bucket = np.argmin(D, axis=1)
+            R = V - CC[bucket]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Dj = ((R[:, j * dsub:(j + 1) * dsub, None]
+                       - CB[j].T[None, :, :]) ** 2).sum(axis=1)
+                if score_round is not None:
+                    Dj = np.round(Dj, score_round)
+                codes[:, j] = np.argmin(Dj, axis=1)
+            yield pdf.assign(
+                bucket=pd.Series(bucket.astype(np.int32), index=pdf.index),
+                codes=pd.Series(list(codes), index=pdf.index),
+            )
+
+    return fn
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    score_round: int | None = None,
+    refine: int | None = None,
+) -> DataFrame:
+    """The classic IVF-PQ layout: coarse L2 centroid lists prune the
+    scan, residual PQ codes + ADC rank within the probed lists.
+
+    Big side: ONE mapInPandas pass assigns each vector to its L2-nearest
+    coarse centroid and PQ-encodes the residual — at scale both are
+    write-time artifacts (partition by bucket, store m bytes of codes).
+    Probe side (driver-tiny): each probe takes its ``nprobe`` nearest
+    lists and carries one integer micro-unit LUT PER PROBED LIST, built
+    from the residual q − c_bucket — candidates join on bucket and are
+    scored with the LUT of their own list, all in JVM column algebra.
+    ``refine`` re-ranks the ADC shortlist with exact distances, as in
+    ``pq_topk_adc``. Output: (probe_id, vec_id, rank, adist_u)."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    from pyspark.sql import types as T
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    schema = T.StructType(
+        list(e.schema.fields)
+        + [T.StructField("bucket", T.IntegerType()),
+           T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    coded = e.mapInPandas(
+        _ivfpq_encode_fn(centroids, codebooks, "vec", score_round),
+        schema=schema,
+    ).select("vec_id", "bucket", "codes")
+
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    ).collect()  # probe side only — never the corpus
+    lut_rows = []
+    for r in probe_rows:
+        q = np.asarray(r["p_vec"], dtype=np.float64)
+        d = ((q[None, :] - centroids) ** 2).sum(axis=1)
+        if score_round is not None:
+            d = np.round(d, score_round)
+        order = np.lexsort((np.arange(len(centroids)), d))[:nprobe]
+        for b in order:
+            lut = pq_lut(q - centroids[b], codebooks, score_round)
+            lut_rows.append(
+                (r["probe_id"], int(b), [[int(x) for x in row] for row in lut])
+            )
+    spark = embeddings.sparkSession
+    p = spark.createDataFrame(
+        lut_rows, "probe_id long, bucket int, lut array<array<bigint>>"
+    )
+    scored = (
+        coded.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "adist_u",
+            F.aggregate(
+                F.zip_with(
+                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "probe_id", "vec_id", "rank", "adist_u"
+        )
+    short = ranked.filter(F.col("rank") <= refine * k).select(
+        "probe_id", "vec_id"
+    )
+    pv = spark.createDataFrame(
+        [(r["probe_id"], [float(x) for x in r["p_vec"]]) for r in probe_rows],
+        "probe_id long, p_vec array<double>",
+    )
+    exact = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .withColumn("d", _sqdist(F.col("vec"), F.col("p_vec")))
+    )
+    d = F.round("d", score_round) if score_round is not None else F.col("d")
+    exact = exact.withColumn("adist_u", F.round(d * 1e6, 0).cast("long"))
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "adist_u")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -349,3 +349,111 @@ def test_pq_trained_codebook_drops_into_adc(emb, probes, pq_codebooks,
     # typically improves on the raw fixed-row sample
     assert r_trained >= r_init - 0.05, (r_trained, r_init)
     assert r_trained >= 0.2, r_trained
+
+
+def test_ivfpq_matches_numpy_replay_and_recall(emb, probes, pq_codebooks,
+                                               exact_l2):
+    """IVF-PQ: coarse L2 lists + residual-PQ ADC. Checks (a) the Spark
+    output matches an independent numpy replay row-for-row, (b) recall
+    is monotone in nprobe, (c) probing every list with a refine stage
+    recovers most of the exact top-k."""
+    import numpy as np
+
+    cents = sim.ivf_centroids(64, 8, seed=9)
+    rows = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = rows.vec_id.to_numpy()
+    V = np.asarray(rows.embedding.to_list(), dtype=np.float64)
+    CB = pq_codebooks
+    m, _, dsub = CB.shape
+
+    out = sim.ivfpq_topk(
+        emb, probes, cents, CB, k=K, nprobe=3, score_round=6
+    ).toPandas()
+
+    # numpy replay: same assignment, residual codes, per-list LUT sums
+    D = ((V ** 2).sum(1, keepdims=True) - 2.0 * (V @ cents.T)
+         + (cents ** 2).sum(1)[None, :])
+    bucket = np.argmin(np.round(D, 6), axis=1)
+    R = V - cents[bucket]
+    codes = np.empty((len(V), m), dtype=int)
+    for j in range(m):
+        Dj = ((R[:, j * dsub:(j + 1) * dsub, None]
+               - CB[j].T[None, :, :]) ** 2).sum(axis=1)
+        codes[:, j] = np.argmin(np.round(Dj, 6), axis=1)
+    for p in range(N_PROBES):
+        q = V[ids == p][0]
+        dq = np.round(((q[None, :] - cents) ** 2).sum(1), 6)
+        plists = np.lexsort((np.arange(len(cents)), dq))[:3]
+        cand = np.isin(bucket, plists) & (ids != p)
+        luts = {
+            int(b): sim.pq_lut(q - cents[b], CB, 6) for b in plists
+        }
+        adist = np.array([
+            luts[int(bucket[i])][np.arange(m), codes[i]].sum()
+            for i in np.where(cand)[0]
+        ])
+        cids = ids[cand]
+        order = np.lexsort((cids, adist))[:K]
+        want = [(int(cids[i]), int(adist[i])) for i in order]
+        got = [
+            (int(r.vec_id), int(r.adist_u))
+            for r in out[out.probe_id == p].sort_values("rank").itertuples()
+        ]
+        assert got == want, (p, got, want)
+
+    r3 = _recall(out, exact_l2)
+    r_all = _recall(
+        sim.ivfpq_topk(emb, probes, cents, CB, k=K, nprobe=8,
+                       score_round=6).toPandas(),
+        exact_l2,
+    )
+    assert r_all >= r3 - 1e-9, (r_all, r3)
+    r_ref = _recall(
+        sim.ivfpq_topk(emb, probes, cents, CB, k=K, nprobe=8,
+                       score_round=6, refine=4).toPandas(),
+        exact_l2,
+    )
+    assert r_ref >= 0.55, r_ref
+
+
+def test_ivfpq_residual_coding_beats_flat_pq(emb, probes):
+    """The point of residual coding: within a coarse list the residuals
+    are small(er), so the same codebook budget estimates distances more
+    tightly. Top-k recall on a 500-row gaussian fixture is too noisy to
+    compare, so pin the direct coding-quality metric instead: mean
+    |ADC distance - exact distance| over ALL pairs (k = corpus size,
+    nprobe = all lists isolates coding from pruning). Measured 0.21
+    (residual) vs 0.29 (flat) on this fixture."""
+    import numpy as np
+
+    cents = sim.ivf_centroids(64, 8, seed=9)
+    rows = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = rows.vec_id.to_numpy()
+    V = np.asarray(rows.embedding.to_list(), dtype=np.float64)
+    D = ((V ** 2).sum(1, keepdims=True) - 2.0 * (V @ cents.T)
+         + (cents ** 2).sum(1)[None, :])
+    Rres = V - cents[np.argmin(np.round(D, 6), axis=1)]
+    m = 16
+    cb_flat = sim.pq_codebooks_from_rows(V[100:116], m)
+    cb_res = sim.pq_codebooks_from_rows(Rres[100:116], m)
+    n = len(V)
+
+    exact = {}
+    for p in range(N_PROBES):
+        q = V[ids == p][0]
+        exact[p] = dict(zip(ids, ((V - q) ** 2).sum(axis=1)))
+
+    def mean_err(pdf):
+        errs = []
+        for r in pdf.itertuples():
+            errs.append(abs(r.adist_u / 1e6 - exact[r.probe_id][r.vec_id]))
+        return float(np.mean(errs))
+
+    e_flat = mean_err(
+        sim.pq_topk_adc(emb, probes, cb_flat, k=n, score_round=6).toPandas()
+    )
+    e_res = mean_err(
+        sim.ivfpq_topk(emb, probes, cents, cb_res, k=n, nprobe=8,
+                       score_round=6).toPandas()
+    )
+    assert e_res < e_flat, (e_res, e_flat)
