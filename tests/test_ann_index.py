@@ -1,0 +1,99 @@
+"""Persisted IVF-PQ index: publish bucket-partitioned codes, query with
+partition pruning, results identical to the in-memory operator."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequential_query_expansion_spark.index import ann
+from sequential_query_expansion_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col("vec_id").between(100, 115))
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    return sim.pq_codebooks_from_rows(
+        np.asarray(rows.embedding.to_list(), dtype=np.float64), 16
+    )
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, emb, codebooks, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("annidx") / "ivfpq")
+    cents = sim.ivf_centroids(64, 8, seed=9)
+    ann.write_ivfpq(emb, out, cents, codebooks, score_round=6)
+    return out
+
+
+def test_layout_and_manifest(idx_dir):
+    parts = sorted(glob.glob(os.path.join(idx_dir, "codes", "bucket=*")))
+    assert len(parts) >= 2, parts  # codes really are bucket-partitioned
+    man, cents, cbs = ann.load_ivfpq(idx_dir)
+    assert man["dim"] == 64 and man["m"] == 16 and man["k"] == 16
+    assert cents.shape == (8, 64) and cbs.shape == (16, 16, 4)
+
+
+def test_query_identical_to_in_memory_operator(spark, emb, probes,
+                                               codebooks, idx_dir):
+    cents = sim.ivf_centroids(64, 8, seed=9)
+    want = sim.ivfpq_topk(
+        emb, probes, cents, codebooks, k=K, nprobe=3, score_round=6
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    got = ann.query_ivfpq(
+        spark, idx_dir, probes, k=K, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # refined path too (reads vectors from the source table)
+    want_r = sim.ivfpq_topk(
+        emb, probes, cents, codebooks, k=K, nprobe=3, score_round=6,
+        refine=3,
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    got_r = ann.query_ivfpq(
+        spark, idx_dir, probes, k=K, nprobe=3, refine=3, embeddings=emb
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False)
+
+
+def test_bucket_filter_is_partition_pruned(spark, probes, idx_dir):
+    """The nprobe bucket filter must reach the scan as a PartitionFilter
+    (the codes dir is partitioned by bucket) — NOT a post-scan filter."""
+    plan = ann.query_ivfpq(
+        spark, idx_dir, probes, k=K, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    mt = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mt, plan
+    assert "bucket" in mt.group(1), mt.group(1)
+
+
+def test_incomplete_dir_refused(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ann.load_ivfpq(str(tmp_path))
