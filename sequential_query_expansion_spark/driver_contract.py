@@ -1819,6 +1819,41 @@ def q_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_CENT_IDS = list(range(100, 108))   # 8 coarse lists (fixed rows)
+IVFPQ_NPROBE = 3
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN end-to-end under a value oracle: coarse L2 lists from
+    8 fixed rows, residual PQ codebooks from the 16 fixed rows minus
+    their own nearest centroid, one integer LUT per probed list. DuckDB
+    replays coarse assignment, residual codebook construction, encode,
+    LUTs, and the exact-integer ADC ranking — the newest ANN layout's
+    driver row is a full SQL recomputation, not a rows-only check."""
+    import numpy as np
+
+    emb = load_embeddings(spark, sf_dir)
+    cents = _ivf_fixed_codebook(emb)[: len(IVFPQ_CENT_IDS)]
+    rows16 = _ivf_fixed_codebook(emb)
+    # same rounded direct-form L2 assignment (ties -> lowest) the oracle
+    # uses for the codebook rows
+    D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),
+                 RANK_ROUND)
+    resid = rows16 - cents[np.argmin(D, axis=1)]
+    cbs = similarity.pq_codebooks_from_rows(resid, PQ_M)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS))
+    out = similarity.ivfpq_topk(
+        emb, probes.select(F.col("vec_id").alias("probe_id"), "embedding"),
+        cents, cbs, k=TOPK, nprobe=IVFPQ_NPROBE, score_round=RANK_ROUND,
+    )
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("adist_u").cast("long").alias("adist_u"),
+    )
+
+
 COS_PAIR_THRESHOLD = 0.45
 
 # --- banded near-dup fixture (round 4) -------------------------------------
@@ -3482,6 +3517,86 @@ SELECT j::BIGINT AS j, code::BIGINT AS code, n, dim::BIGINT AS dim,
 FROM mu
 """
 
+    # IVF-PQ: coarse L2 assignment to 8 fixed-row centroids, residual
+    # codebooks = the 16 fixed rows minus their own nearest centroid,
+    # residual encode, one integer LUT per (probe, probed list), exact
+    # BIGINT ADC sums. Every stage recomputed from the raw table.
+    ivfpq_cc = ", ".join(str(c) for c in IVFPQ_CENT_IDS)
+    sql["ivfpq_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cc AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS b, v
+  FROM e WHERE vec_id IN ({ivfpq_cc})),
+cb16 AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+cdist AS (
+  SELECT e.vec_id, c.b,
+         round(sum(pow(e.v[d.d + 1] - c.v[d.d + 1], 2)), {RANK_ROUND}) AS dist
+  FROM e, cc c, generate_series(0, {EMB_DIM - 1}) AS d(d)
+  GROUP BY e.vec_id, c.b),
+assign AS (
+  SELECT vec_id, b AS bucket FROM (
+    SELECT vec_id, b,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, b ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+cbres AS (
+  SELECT cb16.i,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        d -> cb16.v[d] - cc.v[d]) AS rv
+  FROM cb16 JOIN assign a USING (vec_id) JOIN cc ON cc.b = a.bucket),
+rsq AS (
+  SELECT a.vec_id, s.j, r.i,
+         CAST(round(round(sum(pow((e.v[s.j * {pq_dsub} + d.d + 1]
+                                   - c.v[s.j * {pq_dsub} + d.d + 1])
+                                  - r.rv[s.j * {pq_dsub} + d.d + 1], 2)),
+                          {RANK_ROUND}) * 1000000, 0) AS BIGINT) AS dist_u
+  FROM assign a JOIN e USING (vec_id) JOIN cc c ON c.b = a.bucket,
+       generate_series(0, {PQ_M - 1}) AS s(j), cbres r,
+       generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY a.vec_id, s.j, r.i),
+rcodes AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist_u ASC, i ASC) AS rn
+    FROM rsq) WHERE rn = 1),
+pprobe AS (
+  SELECT vec_id AS probe_id, b AS bucket FROM (
+    SELECT vec_id, b,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, b ASC) AS rn
+    FROM cdist WHERE vec_id IN ({probe_list}))
+  WHERE rn <= {IVFPQ_NPROBE}),
+plut AS (
+  SELECT p.probe_id, p.bucket, s.j, r.i,
+         CAST(round(round(sum(pow((pe.v[s.j * {pq_dsub} + d.d + 1]
+                                   - c.v[s.j * {pq_dsub} + d.d + 1])
+                                  - r.rv[s.j * {pq_dsub} + d.d + 1], 2)),
+                          {RANK_ROUND}) * 1000000, 0) AS BIGINT) AS dist_u
+  FROM pprobe p JOIN e pe ON pe.vec_id = p.probe_id
+       JOIN cc c ON c.b = p.bucket,
+       generate_series(0, {PQ_M - 1}) AS s(j), cbres r,
+       generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY p.probe_id, p.bucket, s.j, r.i),
+iadist AS (
+  SELECT l.probe_id, cd.vec_id, sum(l.dist_u)::BIGINT AS adist_u
+  FROM rcodes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN plut l ON l.bucket = a.bucket AND l.j = cd.j AND l.i = cd.code
+  WHERE cd.vec_id <> l.probe_id
+  GROUP BY l.probe_id, cd.vec_id),
+iqranked AS (
+  SELECT probe_id, vec_id, adist_u,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adist_u ASC, vec_id ASC) AS rank
+  FROM iadist)
+SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, adist_u
+FROM iqranked WHERE rank <= {TOPK}
+"""
+
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -3597,6 +3712,7 @@ SPARK_QUERIES = {
     # round-4 additions (never driver-verified -> early)
     "pq_topk_adc": q_pq_topk_adc,            # PQ codes + integer ADC
     "pq_train_step": q_pq_train_step,        # PQ codebook trainer
+    "ivfpq_topk": q_ivfpq_topk,              # coarse lists + residual PQ
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,
