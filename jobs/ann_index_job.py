@@ -132,9 +132,13 @@ def main() -> int:
     out.orderBy("probe_id", "rank").write.mode("overwrite").parquet(
         args.output
     )
-    print(f"wrote top-{args.k} for "
-          f"{out.select('probe_id').distinct().count()} probes "
-          f"-> {args.output}")
+    # count from the WRITTEN result — re-counting `out` would re-run the
+    # whole ADC DAG a second time just for a log line
+    n = (
+        spark.read.parquet(args.output)
+        .select("probe_id").distinct().count()
+    )
+    print(f"wrote top-{args.k} for {n} probes -> {args.output}")
     return 0
 
 

@@ -1833,8 +1833,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_embeddings(spark, sf_dir)
-    cents = _ivf_fixed_codebook(emb)[: len(IVFPQ_CENT_IDS)]
     rows16 = _ivf_fixed_codebook(emb)
+    cents = rows16[: len(IVFPQ_CENT_IDS)]
     # same rounded direct-form L2 assignment (ties -> lowest) the oracle
     # uses for the codebook rows
     D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),

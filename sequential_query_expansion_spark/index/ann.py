@@ -35,6 +35,21 @@ from ..operators import similarity as sim
 _FMT_VERSION = 1
 
 
+def _require_local(out_dir: str) -> None:
+    """The matrix/manifest sidecars use driver-local file IO; a remote
+    URI would land codes in the object store and then fail (or
+    mis-place) the sidecars AFTER the expensive encode. Refuse up
+    front — at cluster scale, publish locally and sync, or extend the
+    sidecar IO to the Hadoop FS API."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", out_dir):
+        raise NotImplementedError(
+            f"ANN index sidecars are written with local file IO; got "
+            f"non-local path {out_dir!r}"
+        )
+
+
 def write_ivfpq(
     embeddings: DataFrame,
     out_dir: str,
@@ -45,25 +60,23 @@ def write_ivfpq(
     score_round: int | None = None,
 ) -> None:
     """Encode (one mapInPandas pass: coarse assignment + residual PQ
-    codes) and publish bucket-partitioned. Matrices are written LAST so
-    a crashed write is detectably incomplete (`load_ivfpq` refuses a
-    dir without a manifest)."""
+    codes) and publish bucket-partitioned. The manifest is REMOVED
+    first and rewritten LAST, so a crash anywhere inside the write —
+    including a REpublish over an existing index — leaves a dir
+    `load_ivfpq` refuses, never a stale manifest silently paired with
+    new codes."""
+    _require_local(out_dir)
     centroids = np.asarray(centroids, dtype=np.float64)
     codebooks = np.asarray(codebooks, dtype=np.float64)
-    from pyspark.sql import types as T
-
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    coded = sim.ivfpq_encode(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ),
+        centroids, codebooks, score_round,
     )
-    schema = T.StructType(
-        list(e.schema.fields)
-        + [T.StructField("bucket", T.IntegerType()),
-           T.StructField("codes", T.ArrayType(T.IntegerType()))]
-    )
-    coded = e.mapInPandas(
-        sim._ivfpq_encode_fn(centroids, codebooks, "vec", score_round),
-        schema=schema,
-    ).select("vec_id", "bucket", "codes")
     coded.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "codes")
     )
@@ -131,80 +144,21 @@ def query_ivfpq(
     probe_rows = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
     ).collect()  # probe side only — never the corpus
-    lut_rows = []
-    probed = set()
-    for r in probe_rows:
-        q = np.asarray(r["p_vec"], dtype=np.float64)
-        d = ((q[None, :] - centroids) ** 2).sum(axis=1)
-        if score_round is not None:
-            d = np.round(d, score_round)
-        order = np.lexsort((np.arange(len(centroids)), d))[:nprobe]
-        for b in order:
-            probed.add(int(b))
-            lut = sim.pq_lut(q - centroids[b], codebooks, score_round)
-            lut_rows.append(
-                (r["probe_id"], int(b),
-                 [[int(x) for x in row] for row in lut])
-            )
+    lut_rows = sim._ivfpq_probe_luts(
+        probe_rows, centroids, codebooks, nprobe, score_round
+    )
     p = spark.createDataFrame(
         lut_rows, "probe_id long, bucket int, lut array<array<bigint>>"
     )
+    probed = sorted({b for _, b, _ in lut_rows})
     coded = spark.read.parquet(os.path.join(out_dir, "codes")).filter(
-        F.col("bucket").isin(sorted(probed))  # -> parquet partition pruning
+        F.col("bucket").isin(probed)  # -> parquet partition pruning
     )
-    scored = (
-        coded.join(F.broadcast(p), "bucket")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn(
-            "adist_u",
-            F.aggregate(
-                F.zip_with(
-                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if refine is None:
-        return ranked.filter(F.col("rank") <= k).select(
-            "probe_id", "vec_id", "rank", "adist_u"
-        )
-    if embeddings is None:
-        raise ValueError("refine requires the source embeddings table")
-    short = ranked.filter(F.col("rank") <= refine * k).select(
-        "probe_id", "vec_id"
-    )
-    pv = spark.createDataFrame(
-        [(r["probe_id"], [float(x) for x in r["p_vec"]])
-         for r in probe_rows],
-        "probe_id long, p_vec array<double>",
-    )
-    exact = (
-        short.join(
-            embeddings.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-            ),
-            "vec_id",
-        )
-        .join(F.broadcast(pv), "probe_id")
-        .withColumn("d", sim._sqdist(F.col("vec"), F.col("p_vec")))
-    )
-    d = (
-        F.round("d", score_round) if score_round is not None else F.col("d")
-    )
-    exact = exact.withColumn("adist_u", F.round(d * 1e6, 0).cast("long"))
-    w2 = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "rank", "adist_u")
+    return sim._adc_rank_topk(
+        spark, coded, p, k, on_bucket=True, refine=refine,
+        probe_rows=probe_rows,
+        source_e=embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ) if embeddings is not None else None,
+        score_round=score_round,
     )

@@ -636,6 +636,92 @@ def pq_lut(probe_vec: np.ndarray, codebooks: np.ndarray,
     return lut
 
 
+def _probe_vec_df(spark, probe_rows):
+    return spark.createDataFrame(
+        [(r["probe_id"], [float(x) for x in r["p_vec"]])
+         for r in probe_rows],
+        "probe_id long, p_vec array<double>",
+    )
+
+
+def _adc_rank_topk(spark, coded, lut_df, k, on_bucket, refine,
+                   probe_rows, source_e, score_round):
+    """The ONE copy of the ADC tail every PQ surface shares (flat PQ,
+    in-memory IVF-PQ, persisted IVF-PQ): broadcast the per-probe LUT
+    rows, score codes with an exact integer fold, rank
+    (adist_u ASC, vec_id ASC); with ``refine``, re-rank the refine·k
+    shortlist by exact distances read from ``source_e`` (vec_id, vec).
+    Tie order and micro-unit rounding live HERE only, so the persisted
+    index can never drift from the in-memory operators."""
+    if on_bucket:
+        scored = coded.join(F.broadcast(lut_df), "bucket").filter(
+            F.col("vec_id") != F.col("probe_id")
+        )
+    else:
+        scored = coded.join(
+            F.broadcast(lut_df), F.col("vec_id") != F.col("probe_id")
+        )
+    scored = scored.withColumn(
+        "adist_u",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "probe_id", "vec_id", "rank", "adist_u"
+        )
+    if source_e is None:
+        raise ValueError("refine requires the source embeddings table")
+    short = ranked.filter(F.col("rank") <= refine * k).select(
+        "probe_id", "vec_id"
+    )
+    exact = (
+        short.join(source_e, "vec_id")
+        .join(F.broadcast(_probe_vec_df(spark, probe_rows)), "probe_id")
+        .withColumn("d", _sqdist(F.col("vec"), F.col("p_vec")))
+    )
+    d = F.round("d", score_round) if score_round is not None else F.col("d")
+    exact = exact.withColumn("adist_u", F.round(d * 1e6, 0).cast("long"))
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist_u"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "rank", "adist_u")
+    )
+
+
+def _ivfpq_probe_luts(probe_rows, centroids, codebooks, nprobe,
+                      score_round):
+    """(probe_id, bucket, lut) rows: each probe's nprobe L2-nearest
+    coarse lists (direct-form rounded distances, ties → lowest index)
+    with one residual LUT per probed list."""
+    out = []
+    for r in probe_rows:
+        q = np.asarray(r["p_vec"], dtype=np.float64)
+        d = ((q[None, :] - centroids) ** 2).sum(axis=1)
+        if score_round is not None:
+            d = np.round(d, score_round)
+        order = np.lexsort((np.arange(len(centroids)), d))[:nprobe]
+        for b in order:
+            lut = pq_lut(q - centroids[b], codebooks, score_round)
+            out.append(
+                (r["probe_id"], int(b),
+                 [[int(x) for x in row] for row in lut])
+            )
+    return out
+
+
 def pq_topk_adc(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -687,55 +773,13 @@ def pq_topk_adc(
     p = spark.createDataFrame(
         lut_rows, "probe_id long, lut array<array<bigint>>"
     )
-    scored = (
-        coded.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
-        .withColumn(
-            "adist_u",
-            F.aggregate(
-                F.zip_with(
-                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if refine is None:
-        return ranked.filter(F.col("rank") <= k).select(
-            "probe_id", "vec_id", "rank", "adist_u"
-        )
-    short = ranked.filter(F.col("rank") <= refine * k).select(
-        "probe_id", "vec_id"
-    )
-    pv = spark.createDataFrame(
-        [(r["probe_id"], [float(x) for x in r["p_vec"]]) for r in probe_rows],
-        "probe_id long, p_vec array<double>",
-    )
-    exact = (
-        short.join(
-            embeddings.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-            ),
-            "vec_id",
-        )
-        .join(F.broadcast(pv), "probe_id")
-        .withColumn("d", _sqdist(F.col("vec"), F.col("p_vec")))
-    )
-    d = F.round("d", score_round) if score_round is not None else F.col("d")
-    exact = exact.withColumn(
-        "adist_u", F.round(d * 1e6, 0).cast("long")
-    )
-    w2 = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "rank", "adist_u")
+    return _adc_rank_topk(
+        spark, coded, p, k, on_bucket=False, refine=refine,
+        probe_rows=probe_rows,
+        source_e=embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ),
+        score_round=score_round,
     )
 
 
@@ -829,6 +873,23 @@ def pq_train(
     return cb
 
 
+def _coarse_l2(V: np.ndarray, CC: np.ndarray) -> np.ndarray:
+    """(n, n_centroids) squared L2 distances. Small codebooks use the
+    element-wise direct form — the SAME op shape as the SQL oracles'
+    sum(pow(v−c, 2)) and the probe-side loop, so near-tie rounding can't
+    diverge between the corpus and oracle/probe paths. Big codebooks
+    fall back to the expansion form (||v||² − 2v·c + ||c||²): one
+    matmul instead of an (n × k × dim) broadcast temp that would not
+    fit in a task's memory at production codebook sizes. The expansion
+    form's extra cancellation error (~1e-12) only matters within
+    0.5·10^-score_round of an exact tie — the big-codebook path is the
+    un-oracled scale path, where that risk is accepted and documented."""
+    if CC.shape[0] <= LITERAL_CODEBOOK_MAX:
+        return ((V[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+    return ((V ** 2).sum(1, keepdims=True) - 2.0 * (V @ CC.T)
+            + (CC ** 2).sum(1)[None, :])
+
+
 def _ivfpq_encode_fn(centroids: np.ndarray, codebooks: np.ndarray,
                      vec_col: str, score_round: int | None):
     """mapInPandas kernel for the IVF-PQ big side: ONE pass computes the
@@ -847,8 +908,7 @@ def _ivfpq_encode_fn(centroids: np.ndarray, codebooks: np.ndarray,
             if len(pdf) == 0:
                 continue
             V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-            D = ((V ** 2).sum(1, keepdims=True) - 2.0 * (V @ CC.T)
-                 + (CC ** 2).sum(1)[None, :])
+            D = _coarse_l2(V, CC)
             if score_round is not None:
                 D = np.round(D, score_round)
             bucket = np.argmin(D, axis=1)
@@ -866,6 +926,29 @@ def _ivfpq_encode_fn(centroids: np.ndarray, codebooks: np.ndarray,
             )
 
     return fn
+
+
+def ivfpq_encode(e: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray,
+                 score_round: int | None = None) -> DataFrame:
+    """(vec_id, bucket, codes) for a (vec_id, vec) frame — the single
+    encode entry both the in-memory query path and the persisted-index
+    writer go through."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(e.schema.fields)
+        + [T.StructField("bucket", T.IntegerType()),
+           T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    return e.mapInPandas(
+        _ivfpq_encode_fn(
+            np.asarray(centroids, dtype=np.float64),
+            np.asarray(codebooks, dtype=np.float64),
+            "vec", score_round,
+        ),
+        schema=schema,
+    ).select("vec_id", "bucket", "codes")
 
 
 def ivfpq_topk(
@@ -895,83 +978,23 @@ def ivfpq_topk(
     ``pq_topk_adc``. Output: (probe_id, vec_id, rank, adist_u)."""
     centroids = np.asarray(centroids, dtype=np.float64)
     codebooks = np.asarray(codebooks, dtype=np.float64)
-    from pyspark.sql import types as T
-
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    schema = T.StructType(
-        list(e.schema.fields)
-        + [T.StructField("bucket", T.IntegerType()),
-           T.StructField("codes", T.ArrayType(T.IntegerType()))]
-    )
-    coded = e.mapInPandas(
-        _ivfpq_encode_fn(centroids, codebooks, "vec", score_round),
-        schema=schema,
-    ).select("vec_id", "bucket", "codes")
+    coded = ivfpq_encode(e, centroids, codebooks, score_round)
 
     probe_rows = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
     ).collect()  # probe side only — never the corpus
-    lut_rows = []
-    for r in probe_rows:
-        q = np.asarray(r["p_vec"], dtype=np.float64)
-        d = ((q[None, :] - centroids) ** 2).sum(axis=1)
-        if score_round is not None:
-            d = np.round(d, score_round)
-        order = np.lexsort((np.arange(len(centroids)), d))[:nprobe]
-        for b in order:
-            lut = pq_lut(q - centroids[b], codebooks, score_round)
-            lut_rows.append(
-                (r["probe_id"], int(b), [[int(x) for x in row] for row in lut])
-            )
     spark = embeddings.sparkSession
     p = spark.createDataFrame(
-        lut_rows, "probe_id long, bucket int, lut array<array<bigint>>"
+        _ivfpq_probe_luts(probe_rows, centroids, codebooks, nprobe,
+                          score_round),
+        "probe_id long, bucket int, lut array<array<bigint>>",
     )
-    scored = (
-        coded.join(F.broadcast(p), "bucket")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn(
-            "adist_u",
-            F.aggregate(
-                F.zip_with(
-                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if refine is None:
-        return ranked.filter(F.col("rank") <= k).select(
-            "probe_id", "vec_id", "rank", "adist_u"
-        )
-    short = ranked.filter(F.col("rank") <= refine * k).select(
-        "probe_id", "vec_id"
-    )
-    pv = spark.createDataFrame(
-        [(r["probe_id"], [float(x) for x in r["p_vec"]]) for r in probe_rows],
-        "probe_id long, p_vec array<double>",
-    )
-    exact = (
-        short.join(e, "vec_id")
-        .join(F.broadcast(pv), "probe_id")
-        .withColumn("d", _sqdist(F.col("vec"), F.col("p_vec")))
-    )
-    d = F.round("d", score_round) if score_round is not None else F.col("d")
-    exact = exact.withColumn("adist_u", F.round(d * 1e6, 0).cast("long"))
-    w2 = Window.partitionBy("probe_id").orderBy(
-        F.asc("adist_u"), F.asc("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "rank", "adist_u")
+    return _adc_rank_topk(
+        spark, coded, p, k, on_bucket=True, refine=refine,
+        probe_rows=probe_rows, source_e=e, score_round=score_round,
     )
 
 

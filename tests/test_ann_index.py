@@ -97,3 +97,40 @@ def test_bucket_filter_is_partition_pruned(spark, probes, idx_dir):
 def test_incomplete_dir_refused(tmp_path):
     with pytest.raises(FileNotFoundError):
         ann.load_ivfpq(str(tmp_path))
+
+
+def test_republish_crash_leaves_refusable_dir(spark, emb, codebooks,
+                                              idx_dir, monkeypatch):
+    """A crash during a REpublish must not leave the OLD manifest paired
+    with NEW codes: write_ivfpq removes the manifest first, so any
+    failure before the final manifest write leaves a dir load_ivfpq
+    refuses."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ann_crash_") + "/idx"
+    shutil.copytree(idx_dir, work)
+    cents = sim.ivf_centroids(64, 8, seed=9)
+
+    real_write = ann.sim.ivfpq_encode
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-republish")
+
+    monkeypatch.setattr(ann.sim, "ivfpq_encode", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ann.write_ivfpq(emb, work, cents, codebooks, score_round=6)
+    monkeypatch.setattr(ann.sim, "ivfpq_encode", real_write)
+    with pytest.raises(FileNotFoundError):
+        ann.load_ivfpq(work)
+    # a full re-run repairs it
+    ann.write_ivfpq(emb, work, cents, codebooks, score_round=6)
+    man, _, _ = ann.load_ivfpq(work)
+    assert man["m"] == 16
+    shutil.rmtree(os.path.dirname(work), ignore_errors=True)
+
+
+def test_non_local_output_refused(emb, codebooks):
+    cents = sim.ivf_centroids(64, 8, seed=9)
+    with pytest.raises(NotImplementedError, match="non-local"):
+        ann.write_ivfpq(emb, "s3a://bucket/idx", cents, codebooks)
