@@ -1819,6 +1819,39 @@ def q_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_TRAIN_ITERS = 3
+
+
+def q_pq_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE composed Lloyd iterations of the PQ trainer — guards the
+    iteration LOOP (empty-cluster carry-forward, per-iteration rounding,
+    assignment against the PREVIOUS iteration's codebooks), not just one
+    step. ``codebook_round`` pins each iteration's codebooks so the
+    DuckDB oracle can replay the whole trajectory, exactly the
+    `ivf_train_multi` construction applied per subspace. Output = final
+    assignment's per-(subspace, codeword) counts + every final codeword
+    coordinate (already 6-dp rounded — NOT re-rounded, per the
+    half-boundary lesson in `q_ivf_train_multi`)."""
+    emb = load_embeddings(spark, sf_dir)
+    counts: dict = {}
+    cbs = similarity.pq_train(
+        emb, iters=PQ_TRAIN_ITERS,
+        init=similarity.pq_codebooks_from_rows(_ivf_fixed_codebook(emb), PQ_M),
+        score_round=RANK_ROUND, codebook_round=RANK_ROUND,
+        counts_out=counts,
+    )
+    dsub = cbs.shape[2]
+    out = []
+    for (j, code) in sorted(counts):
+        for d in range(dsub):
+            out.append(
+                (j, code, counts[(j, code)], d, float(cbs[j, code, d]))
+            )
+    return spark.createDataFrame(
+        out, "j long, code long, n long, dim long, c double"
+    )
+
+
 IVFPQ_CENT_IDS = list(range(100, 108))   # 8 coarse lists (fixed rows)
 IVFPQ_NPROBE = 3
 
@@ -3517,6 +3550,64 @@ SELECT j::BIGINT AS j, code::BIGINT AS code, n, dim::BIGINT AS dim,
 FROM mu
 """
 
+    # 3 composed PQ Lloyd iterations: each iteration assigns every
+    # (vector, subspace) against the PREVIOUS iteration's codebooks
+    # (rounded argmin, ties -> lowest codeword), recomputes per-dim
+    # means, rounds to 6 dp (pq_train's codebook_round); empty codewords
+    # carry the previous (rounded) value forward — the ivf_train_multi
+    # construction applied per subspace.
+    def _pq_iter(k: int, prev: str) -> str:
+        return f"""
+pd{k} AS (
+  SELECT e.vec_id, c.j, c.i,
+         round(sum(pow(e.v[c.j * {pq_dsub} + d.d + 1] - c.rv[d.d + 1], 2)),
+               {RANK_ROUND}) AS dist
+  FROM e, {prev} c, generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY e.vec_id, c.j, c.i),
+pa{k} AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, i ASC) AS rn
+    FROM pd{k}) WHERE rn = 1),
+pm{k} AS (
+  SELECT a.j, a.code, d.d AS dim,
+         avg(e.v[a.j * {pq_dsub} + d.d + 1]) AS m, count(*)::BIGINT AS n
+  FROM pa{k} a JOIN e USING (vec_id),
+       generate_series(0, {pq_dsub - 1}) AS d(d)
+  GROUP BY a.j, a.code, d.d),
+pn{k} AS (
+  SELECT j, code, list(round(m, {RANK_ROUND}) ORDER BY dim) AS rv
+  FROM pm{k} GROUP BY j, code),
+pc{k} AS (
+  SELECT p.j, p.i,
+         coalesce(n.rv, list_transform(p.rv, x -> round(x, {RANK_ROUND}))) AS rv
+  FROM {prev} p LEFT JOIN pn{k} n ON n.j = p.j AND n.code = p.i)"""
+
+    pq_iters_sql = ",".join(
+        _pq_iter(k, "pc0" if k == 1 else f"pc{k - 1}")
+        for k in range(1, PQ_TRAIN_ITERS + 1)
+    )
+    pq_fin = PQ_TRAIN_ITERS
+    sql["pq_train_multi"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+  FROM e WHERE vec_id IN ({cent_list})),
+pc0 AS (
+  SELECT s.j, cb.i,
+         list_transform(generate_series(1, {pq_dsub}),
+                        d -> cb.v[s.j * {pq_dsub} + d]) AS rv
+  FROM cents cb, generate_series(0, {PQ_M - 1}) AS s(j)),
+{pq_iters_sql}
+SELECT cnt.j::BIGINT AS j, cnt.code::BIGINT AS code, cnt.n,
+       d.d::BIGINT AS dim, pc{pq_fin}.rv[d.d + 1] AS c
+FROM (SELECT j, code, count(*)::BIGINT AS n FROM pa{pq_fin}
+      GROUP BY j, code) cnt
+JOIN pc{pq_fin} ON pc{pq_fin}.j = cnt.j AND pc{pq_fin}.i = cnt.code,
+     generate_series(0, {pq_dsub - 1}) AS d(d)
+"""
+
     # IVF-PQ: coarse L2 assignment to 8 fixed-row centroids, residual
     # codebooks = the 16 fixed rows minus their own nearest centroid,
     # residual encode, one integer LUT per (probe, probed list), exact
@@ -3712,6 +3803,7 @@ SPARK_QUERIES = {
     # round-4 additions (never driver-verified -> early)
     "pq_topk_adc": q_pq_topk_adc,            # PQ codes + integer ADC
     "pq_train_step": q_pq_train_step,        # PQ codebook trainer
+    "pq_train_multi": q_pq_train_multi,      # PQ trainer iteration loop
     "ivfpq_topk": q_ivfpq_topk,              # coarse lists + residual PQ
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
