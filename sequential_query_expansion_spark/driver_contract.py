@@ -379,6 +379,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=6)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERING over the simhash near-dup pair graph:
+    (doc_id, component) with component = min reachable doc id — the step
+    every dedup pipeline needs between pair generation and survivor
+    selection (dup chains a-b, b-c collapse to one representative). The
+    oracle recomputes the same pairs bit-for-bit and closes them with a
+    recursive CTE, so the distributed min-label propagation loop is
+    value-checked against a true transitive closure."""
+    pairs = dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=6)
+    out = dedup.duplicate_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-pretokenizer token counts (training-data
     budget estimators); the regex is engine-portable (no lookahead,
@@ -2316,8 +2332,7 @@ SELECT doc_id, min(h) AS fp FROM kh WHERE n_grams < {WINNOW_W} GROUP BY doc_id
     # matches the engine's _simhash_term_hash; per-bit tf-weighted sign
     # votes, then all-pairs hamming (oracle-sized; the engine side uses
     # pigeonhole-piece candidate generation instead of all-pairs).
-    sql["simhash_pairs"] = f"""
-WITH {_BASE},
+    simhash_ctes = f"""{_BASE},
 bitsidx AS (SELECT unnest(generate_series(0, 63)) AS bit),
 termh AS (
   SELECT term, ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h
@@ -2337,8 +2352,28 @@ ham AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)::BIGINT AS hamming
   FROM signs a JOIN signs b ON a.bit = b.bit AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b)
+  GROUP BY doc_a, doc_b)"""
+    sql["simhash_pairs"] = f"""
+WITH {simhash_ctes}
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+"""
+
+    # duplicate clustering over the same pair graph: component = min
+    # reachable doc id, computed by a TRUE transitive closure (recursive
+    # CTE) — an algorithm-independent check of the distributed
+    # min-label-propagation loop
+    sql["dedup_components"] = f"""
+WITH RECURSIVE {simhash_ctes},
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ham WHERE hamming <= 6
+  UNION ALL
+  SELECT doc_b, doc_a FROM ham WHERE hamming <= 6),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM dedges
+  UNION
+  SELECT rc.node, e.dst FROM reach rc JOIN dedges e ON e.src = rc.r)
+SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS component
+FROM reach GROUP BY node
 """
 
     sql["bm25_topk"] = f"""
@@ -3805,6 +3840,7 @@ SPARK_QUERIES = {
     "pq_train_step": q_pq_train_step,        # PQ codebook trainer
     "pq_train_multi": q_pq_train_multi,      # PQ trainer iteration loop
     "ivfpq_topk": q_ivfpq_topk,              # coarse lists + residual PQ
+    "dedup_components": q_dedup_components,  # dup clustering + survivor
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,

@@ -201,3 +201,52 @@ def test_minhash_rep_semantics_with_exact_dups(spark):
         [(r.doc_a, r.doc_b) for r in want_all]
     assert {(0, 1), (0, 2), (1, 2), (0, 3)} <= \
         {(r.doc_a, r.doc_b) for r in got_all}
+
+
+def test_duplicate_components_chain_and_survivors(spark):
+    """Min-label propagation must collapse transitive dup CHAINS (a-b,
+    b-c with no a-c pair) into one component, leave singletons alone,
+    and survivors = min id per component + all unpaired docs."""
+    from sequential_query_expansion_spark.operators.dedup import (
+        dedup_survivors,
+        duplicate_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    comps = {
+        r.doc_id: r.component
+        for r in duplicate_components(pairs).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id long",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20, 99]
+
+
+def test_duplicate_components_long_path_converges(spark):
+    """A 40-node path is the worst diameter case for label propagation;
+    the loop must still converge (within max_iters) to one component."""
+    from sequential_query_expansion_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    out = duplicate_components(pairs).collect()
+    assert len(out) == 41
+    assert {r.component for r in out} == {0}
