@@ -1903,6 +1903,66 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed ANN index queried with the standard partition-pruned ADC
+    path: half the embeddings are published batch-style, the other half
+    arrive as two file drops ingested by two availableNow stream runs
+    into code SEGMENTS against the FROZEN codebooks (index/ann.py —
+    the incremental_topk construction applied to the ANN family), then
+    segments are folded into the base with ``compact_ann_codes``.
+    Encode is deterministic per vector under frozen codebooks, so the
+    result is identical to publishing everything at once — this entry
+    shares ivfpq_topk's full DuckDB oracle: the value hash proves the
+    stream-built ANN index ranks exactly like the from-scratch one."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .index import ann
+
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    rows16 = _ivf_fixed_codebook(emb)
+    cents = rows16[: len(IVFPQ_CENT_IDS)]
+    import numpy as np
+
+    D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),
+                 RANK_ROUND)
+    cbs = similarity.pq_codebooks_from_rows(
+        rows16 - cents[np.argmin(D, axis=1)], PQ_M
+    )
+    root = tempfile.mkdtemp(prefix="sqe_annincr_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx_dir = os.path.join(root, "idx")
+    drops = os.path.join(root, "drops")
+    ann.write_ivfpq(
+        emb.filter(F.col("vec_id") % 2 == 0), idx_dir, cents, cbs,
+        score_round=RANK_ROUND,
+    )
+    for rem in (1, 3):
+        emb.filter(F.col("vec_id") % 4 == rem).write.mode("append").parquet(
+            drops
+        )
+        ann.start_incremental_ann(spark, drops, idx_dir).awaitTermination()
+    ann.compact_ann_codes(spark, idx_dir)
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = ann.query_ivfpq(
+        spark, idx_dir, probes, k=TOPK, nprobe=IVFPQ_NPROBE
+    )
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("adist_u").cast("long").alias("adist_u"),
+    )
+
+
 COS_PAIR_THRESHOLD = 0.45
 
 # --- banded near-dup fixture (round 4) -------------------------------------
@@ -3643,6 +3703,9 @@ JOIN pc{pq_fin} ON pc{pq_fin}.j = cnt.j AND pc{pq_fin}.i = cnt.code,
      generate_series(0, {pq_dsub - 1}) AS d(d)
 """
 
+    # the streamed ANN index must rank exactly like the from-scratch
+    # publish (frozen codebooks -> deterministic encode), so it shares
+    # the full ivfpq oracle; assigned below after it is defined
     # IVF-PQ: coarse L2 assignment to 8 fixed-row centroids, residual
     # codebooks = the 16 fixed rows minus their own nearest centroid,
     # residual encode, one integer LUT per (probe, probed list), exact
@@ -3722,6 +3785,7 @@ SELECT probe_id::BIGINT AS probe_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, adist_u
 FROM iqranked WHERE rank <= {TOPK}
 """
+    sql["ivfpq_incremental_topk"] = sql["ivfpq_topk"]
 
     sql["cosine_pairs"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -3840,6 +3904,7 @@ SPARK_QUERIES = {
     "pq_train_step": q_pq_train_step,        # PQ codebook trainer
     "pq_train_multi": q_pq_train_multi,      # PQ trainer iteration loop
     "ivfpq_topk": q_ivfpq_topk,              # coarse lists + residual PQ
+    "ivfpq_incremental_topk": q_ivfpq_incremental_topk,  # streamed ANN
     "dedup_components": q_dedup_components,  # dup clustering + survivor
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,

@@ -3,6 +3,8 @@
 Layout under ``out_dir``::
 
     codes/bucket=<b>/*.parquet   — (vec_id, codes array<int>) per coarse list
+    segments/segment=<batch>/bucket=<b>/   — streamed appends (frozen
+                                   codebooks) until compact_ann_codes
     centroids.json               — coarse codebook, row-major
     codebooks.json               — PQ codebooks, (m, k, dsub) nested
     manifest.json                — dims + params + row count
@@ -123,6 +125,102 @@ def load_ivfpq(out_dir: str):
     return man, cents, cbs
 
 
+def start_incremental_ann(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    schema: str | None = None,
+    available_now: bool = True,
+):
+    """Stream new embedding files into a published IVF-PQ index.
+
+    Mirrors `streaming/incremental.start_incremental_build`'s
+    segment→merge design for the text index: each micro-batch encodes
+    against the index's FROZEN codebooks (the standard IVF-PQ append —
+    codebooks only change on retrain+republish) and overwrites ITS OWN
+    `segments/segment=<batch_id>` dir, so a batch replay after failure
+    is idempotent (exactly-once via the streaming checkpoint).
+    `query_ivfpq` reads base codes + segments; `compact_ann_codes`
+    folds segments into the base. Returns the streaming query."""
+    man, cents, cbs = load_ivfpq(index_dir)
+    stream = spark.readStream.schema(
+        schema or f"{id_col} long, {vec_col} array<double>"
+    ).parquet(input_dir)
+    seg_root = os.path.join(index_dir, "segments")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        coded = sim.ivfpq_encode(
+            batch_df.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            ),
+            cents, cbs, man["score_round"],
+        )
+        coded.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(seg_root, f"segment={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            os.path.join(index_dir, "_stream_checkpoint"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _code_frames(spark: SparkSession, out_dir: str, bucket_filter=None):
+    """Base codes + any streamed segments, each root read separately so
+    the bucket filter stays a PartitionFilter on every scan."""
+    frames = []
+    base = spark.read.parquet(os.path.join(out_dir, "codes"))
+    if bucket_filter is not None:
+        base = base.filter(bucket_filter)
+    frames.append(base.select("vec_id", "bucket", "codes"))
+    seg_root = os.path.join(out_dir, "segments")
+    if os.path.isdir(seg_root) and any(
+        e.startswith("segment=") for e in os.listdir(seg_root)
+    ):
+        seg = spark.read.parquet(seg_root)  # partition cols: segment, bucket
+        if bucket_filter is not None:
+            seg = seg.filter(bucket_filter)
+        frames.append(seg.select("vec_id", "bucket", "codes"))
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
+    return df
+
+
+def compact_ann_codes(spark: SparkSession, out_dir: str) -> None:
+    """Fold streamed segments into the base codes dir (one rewrite
+    partitioned by bucket). The manifest is removed before the swap and
+    restored after, so a crash mid-compaction leaves a dir
+    `load_ivfpq` refuses rather than a silently-torn index; at cluster
+    scale this whole operation is an Iceberg rewrite instead."""
+    import shutil
+
+    man, _, _ = load_ivfpq(out_dir)
+    seg_root = os.path.join(out_dir, "segments")
+    if not (os.path.isdir(seg_root)
+            and any(e.startswith("segment=") for e in os.listdir(seg_root))):
+        return  # nothing streamed since the last compact
+    merged = _code_frames(spark, out_dir)
+    tmp = os.path.join(out_dir, "codes.compact.tmp")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    mpath = os.path.join(out_dir, "manifest.json")
+    os.remove(mpath)  # fence: refusable until the swap completes
+    shutil.rmtree(os.path.join(out_dir, "codes"))
+    os.rename(tmp, os.path.join(out_dir, "codes"))
+    shutil.rmtree(seg_root)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
+
+
 def query_ivfpq(
     spark: SparkSession,
     out_dir: str,
@@ -151,8 +249,9 @@ def query_ivfpq(
         lut_rows, "probe_id long, bucket int, lut array<array<bigint>>"
     )
     probed = sorted({b for _, b, _ in lut_rows})
-    coded = spark.read.parquet(os.path.join(out_dir, "codes")).filter(
-        F.col("bucket").isin(probed)  # -> parquet partition pruning
+    coded = _code_frames(
+        spark, out_dir,
+        bucket_filter=F.col("bucket").isin(probed),  # -> partition pruning
     )
     return sim._adc_rank_topk(
         spark, coded, p, k, on_bucket=True, refine=refine,

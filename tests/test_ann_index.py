@@ -134,3 +134,61 @@ def test_non_local_output_refused(emb, codebooks):
     cents = sim.ivf_centroids(64, 8, seed=9)
     with pytest.raises(NotImplementedError, match="non-local"):
         ann.write_ivfpq(emb, "s3a://bucket/idx", cents, codebooks)
+
+
+def test_streaming_append_then_compact(spark, emb, codebooks,
+                                       tmp_path_factory):
+    """Streamed embedding drops must be query-identical to a from-scratch
+    publish over the union (codebooks frozen -> encode deterministic per
+    vector), before AND after folding segments into the base codes."""
+    import pandas as pd
+
+    root = tmp_path_factory.mktemp("annstream")
+    out = str(root / "idx")
+    full = str(root / "idx_full")
+    drops = str(root / "drops")
+    os.makedirs(drops)
+    cents = sim.ivf_centroids(64, 8, seed=9)
+
+    def as_double(df):
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+
+    ann.write_ivfpq(
+        as_double(emb.filter(F.col("vec_id") < 300)), out, cents,
+        codebooks, score_round=6,
+    )
+    ann.write_ivfpq(as_double(emb), full, cents, codebooks, score_round=6)
+
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    # two drops -> two availableNow runs -> two segments
+    for lo, hi in [(300, 400), (400, 500)]:
+        as_double(
+            emb.filter(F.col("vec_id").between(lo, hi - 1))
+        ).write.mode("append").parquet(drops)
+        q = ann.start_incremental_ann(spark, drops, out)
+        q.awaitTermination()
+
+    want = ann.query_ivfpq(
+        spark, full, probes, k=K, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    got = ann.query_ivfpq(
+        spark, out, probes, k=K, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    ann.compact_ann_codes(spark, out)
+    assert not os.path.isdir(os.path.join(out, "segments"))
+    got2 = ann.query_ivfpq(
+        spark, out, probes, k=K, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    # compact is a no-op when nothing streamed since
+    ann.compact_ann_codes(spark, out)
