@@ -1872,6 +1872,24 @@ IVFPQ_CENT_IDS = list(range(100, 108))   # 8 coarse lists (fixed rows)
 IVFPQ_NPROBE = 3
 
 
+def _ivfpq_fixed_setup(emb: DataFrame):
+    """(cents, cbs) both IVF-PQ entries share: coarse centroids = the
+    first 8 fixed rows, residual codebooks = the 16 fixed rows minus
+    their own rounded-direct-argmin nearest centroid. ONE copy, because
+    the two entries share one oracle — divergent codebook constructions
+    would silently test different things."""
+    import numpy as np
+
+    rows16 = _ivf_fixed_codebook(emb)
+    cents = rows16[: len(IVFPQ_CENT_IDS)]
+    D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),
+                 RANK_ROUND)
+    cbs = similarity.pq_codebooks_from_rows(
+        rows16 - cents[np.argmin(D, axis=1)], PQ_M
+    )
+    return cents, cbs
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN end-to-end under a value oracle: coarse L2 lists from
     8 fixed rows, residual PQ codebooks from the 16 fixed rows minus
@@ -1879,17 +1897,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays coarse assignment, residual codebook construction, encode,
     LUTs, and the exact-integer ADC ranking — the newest ANN layout's
     driver row is a full SQL recomputation, not a rows-only check."""
-    import numpy as np
-
     emb = load_embeddings(spark, sf_dir)
-    rows16 = _ivf_fixed_codebook(emb)
-    cents = rows16[: len(IVFPQ_CENT_IDS)]
-    # same rounded direct-form L2 assignment (ties -> lowest) the oracle
-    # uses for the codebook rows
-    D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),
-                 RANK_ROUND)
-    resid = rows16 - cents[np.argmin(D, axis=1)]
-    cbs = similarity.pq_codebooks_from_rows(resid, PQ_M)
+    cents, cbs = _ivfpq_fixed_setup(emb)
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS))
     out = similarity.ivfpq_topk(
         emb, probes.select(F.col("vec_id").alias("probe_id"), "embedding"),
@@ -1926,15 +1935,7 @@ def q_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    rows16 = _ivf_fixed_codebook(emb)
-    cents = rows16[: len(IVFPQ_CENT_IDS)]
-    import numpy as np
-
-    D = np.round(((rows16[:, None, :] - cents[None]) ** 2).sum(-1),
-                 RANK_ROUND)
-    cbs = similarity.pq_codebooks_from_rows(
-        rows16 - cents[np.argmin(D, axis=1)], PQ_M
-    )
+    cents, cbs = _ivfpq_fixed_setup(emb)
     root = tempfile.mkdtemp(prefix="sqe_annincr_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     idx_dir = os.path.join(root, "idx")

@@ -67,12 +67,21 @@ def write_ivfpq(
     including a REpublish over an existing index — leaves a dir
     `load_ivfpq` refuses, never a stale manifest silently paired with
     new codes."""
+    import shutil
+
     _require_local(out_dir)
     centroids = np.asarray(centroids, dtype=np.float64)
     codebooks = np.asarray(codebooks, dtype=np.float64)
     mpath = os.path.join(out_dir, "manifest.json")
     if os.path.exists(mpath):
         os.remove(mpath)
+    # a REpublish (e.g. after retraining codebooks) must also invalidate
+    # anything streamed against the OLD codebooks: stale segments would
+    # be silently unioned back in by _code_frames under the new
+    # manifest, and a stale stream checkpoint would skip re-ingesting
+    # the dropped files under the new codebooks
+    for stale in ("segments", "_stream_checkpoint"):
+        shutil.rmtree(os.path.join(out_dir, stale), ignore_errors=True)
     coded = sim.ivfpq_encode(
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -144,33 +153,23 @@ def start_incremental_ann(
     is idempotent (exactly-once via the streaming checkpoint).
     `query_ivfpq` reads base codes + segments; `compact_ann_codes`
     folds segments into the base. Returns the streaming query."""
-    man, cents, cbs = load_ivfpq(index_dir)
-    stream = spark.readStream.schema(
-        schema or f"{id_col} long, {vec_col} array<double>"
-    ).parquet(input_dir)
-    seg_root = os.path.join(index_dir, "segments")
+    from ..streaming.incremental import start_segment_stream
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        coded = sim.ivfpq_encode(
+    man, cents, cbs = load_ivfpq(index_dir)
+
+    def encode(batch_df: DataFrame) -> DataFrame:
+        return sim.ivfpq_encode(
             batch_df.select(
                 F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
             ),
             cents, cbs, man["score_round"],
         )
-        coded.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(seg_root, f"segment={batch_id}")
-        )
 
-    writer = (
-        stream.writeStream.foreachBatch(process)
-        .option(
-            "checkpointLocation",
-            os.path.join(index_dir, "_stream_checkpoint"),
-        )
+    return start_segment_stream(
+        spark, input_dir, index_dir,
+        schema or f"{id_col} long, {vec_col} array<double>",
+        encode, available_now, partition_by=("bucket",),
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def _code_frames(spark: SparkSession, out_dir: str, bucket_filter=None):
@@ -192,6 +191,13 @@ def _code_frames(spark: SparkSession, out_dir: str, bucket_filter=None):
     df = frames[0]
     for extra in frames[1:]:
         df = df.unionByName(extra)
+    if len(frames) > 1:
+        # a vector can legitimately appear twice: compact_ann_codes may
+        # fold a segment whose stream batch never COMMITTED, and the
+        # replayed batch then rewrites the same segment. Rows are
+        # bit-identical (frozen codebooks -> deterministic encode), so
+        # dedup by vec_id is exact; base-only reads skip the exchange.
+        df = df.dropDuplicates(["vec_id"])
     return df
 
 

@@ -652,6 +652,7 @@ def duplicate_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = edges.join(
             labels.select(
@@ -672,9 +673,24 @@ def duplicate_components(
             .filter(F.col("label") < F.col("old"))
             .count()
         )
+        # rebinding drops the only reference to the superseded
+        # checkpoint; CPython refcounting releases the JVM handle
+        # immediately and ContextCleaner unpersists its blocks, so
+        # storage stays O(1) label-table copies across iterations
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning split components here would SILENTLY leak
+        # duplicates through dedup_survivors — refuse instead
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing): a component "
+            f"diameter exceeds max_iters. Raise max_iters, or switch to "
+            f"the small-star/large-star O(log n) variant for adversarial "
+            f"graph shapes."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

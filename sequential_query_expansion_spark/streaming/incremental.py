@@ -37,6 +37,44 @@ def _segment_transform(batch: DataFrame) -> DataFrame:
     return explode_term_frequencies(toks)
 
 
+def start_segment_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str,
+    transform,
+    available_now: bool = True,
+    partition_by: tuple = (),
+):
+    """The ONE copy of the segment-stream scaffolding the text index and
+    the ANN index share: readStream(new parquet files) → foreachBatch →
+    ``transform(batch_df)`` written (mode=overwrite) to
+    ``out_dir``/segments/segment=<batch_id> — a batch replay after
+    failure overwrites its own segment dir, never duplicates — with the
+    exactly-once bookkeeping in ``out_dir``/_stream_checkpoint. Keeping
+    the replay-idempotence plumbing in one place means a checkpoint or
+    trigger fix cannot be applied to one family and missed in the
+    other. Returns the streaming query."""
+    seg_root = os.path.join(out_dir, "segments")
+    ckpt = os.path.join(out_dir, "_stream_checkpoint")
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(seg_root, f"segment={batch_id}"))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", ckpt
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_build(
     spark: SparkSession,
     input_dir: str,
@@ -46,24 +84,10 @@ def start_incremental_build(
 ):
     """Stream new parquet files from ``input_dir`` into posting segments
     under ``out_dir``/segments/segment=<batch_id>. Returns the query."""
-    seg_root = os.path.join(out_dir, "segments")
-    ckpt = os.path.join(out_dir, "_stream_checkpoint")
-
-    stream = spark.readStream.schema(schema).parquet(input_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        seg = _segment_transform(batch_df)
-        # overwrite THIS batch's segment dir → idempotent under replay
-        seg.write.mode("overwrite").parquet(
-            os.path.join(seg_root, f"segment={batch_id}")
-        )
-
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", ckpt
+    return start_segment_stream(
+        spark, input_dir, out_dir, schema, _segment_transform,
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_segments(

@@ -192,3 +192,46 @@ def test_streaming_append_then_compact(spark, emb, codebooks,
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
     # compact is a no-op when nothing streamed since
     ann.compact_ann_codes(spark, out)
+
+
+def test_republish_invalidates_stale_segments(spark, emb, codebooks,
+                                              tmp_path_factory):
+    """A republish (e.g. after retraining codebooks) must clear streamed
+    segments and the stream checkpoint: stale segments encoded under the
+    OLD codebooks would otherwise be silently unioned into queries under
+    the new manifest."""
+    root = tmp_path_factory.mktemp("annrepub")
+    out = str(root / "idx")
+    drops = str(root / "drops")
+    os.makedirs(drops)
+    cents = sim.ivf_centroids(64, 8, seed=9)
+
+    def as_double(df):
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+
+    ann.write_ivfpq(
+        as_double(emb.filter(F.col("vec_id") < 300)), out, cents,
+        codebooks, score_round=6,
+    )
+    as_double(
+        emb.filter(F.col("vec_id") >= 300)
+    ).write.mode("append").parquet(drops)
+    ann.start_incremental_ann(spark, drops, out).awaitTermination()
+    assert os.path.isdir(os.path.join(out, "segments"))
+
+    # republish over the FULL set: stale segments + checkpoint must go
+    ann.write_ivfpq(as_double(emb), out, cents, codebooks, score_round=6)
+    assert not os.path.isdir(os.path.join(out, "segments"))
+    assert not os.path.isdir(os.path.join(out, "_stream_checkpoint"))
+
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out_df = ann.query_ivfpq(spark, out, probes, k=K, nprobe=3).toPandas()
+    # no duplicate (probe, vec) rows — the stale-union failure mode
+    assert not out_df.duplicated(["probe_id", "vec_id"]).any()

@@ -250,3 +250,20 @@ def test_duplicate_components_long_path_converges(spark):
     out = duplicate_components(pairs).collect()
     assert len(out) == 41
     assert {r.component for r in out} == {0}
+
+
+def test_duplicate_components_nonconvergence_raises(spark):
+    """Exhausting max_iters before convergence must raise, not silently
+    return split components (which would leak dups through
+    dedup_survivors)."""
+    import pytest as _pytest
+
+    from sequential_query_expansion_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iters=3)
