@@ -566,8 +566,10 @@ def _pq_encode_fn(codebooks: np.ndarray, vec_col: str,
             V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
-                D = ((V[:, j * dsub:(j + 1) * dsub, None]
-                      - C[j].T[None, :, :]) ** 2).sum(axis=1)
+                # dual-form via _coarse_l2: the (n × dsub × k) direct
+                # temp is fine at oracle-checked codebook sizes but
+                # ~GBs at e.g. dsub=64, k=256 (m=1 coarse training)
+                D = _coarse_l2(V[:, j * dsub:(j + 1) * dsub], C[j])
                 if score_round is not None:
                     D = np.round(D, score_round)
                 codes[:, j] = np.argmin(D, axis=1)
@@ -847,8 +849,9 @@ def pq_train(
                 V = np.asarray(pdf["sv"].to_list(), dtype=np.float64)
                 for j in np.unique(jv):
                     rows = jv == j
-                    D = ((V[rows][:, :, None]
-                          - C[j].T[None, :, :]) ** 2).sum(axis=1)
+                    # dual-form (see _coarse_l2): keeps m=1 full-vector
+                    # coarse training memory-safe at big k
+                    D = _coarse_l2(V[rows], C[j])
                     if score_round is not None:
                         D = np.round(D, score_round)
                     out_codes[rows] = np.argmin(D, axis=1)
