@@ -34,8 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 
-def _read(spark, path):
-    if path.endswith((".parquet", "/")) or "/" in path:
+def _read(spark, path, as_table=False):
+    """Parquet path unless --table was passed or the string names no
+    existing filesystem entry and carries no path separator (a relative
+    parquet dir like 'embeddings' must NOT silently become a metastore
+    lookup)."""
+    if as_table:
+        return spark.read.table(path)
+    if os.path.exists(path) or "/" in path or path.endswith(".parquet"):
         return spark.read.parquet(path)
     return spark.read.table(path)
 
@@ -45,6 +51,8 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
+    b.add_argument("--table", action="store_true",
+                   help="treat --input/--probes as metastore table names")
     b.add_argument("--output", required=True)
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
@@ -65,7 +73,12 @@ def main() -> int:
     q.add_argument("--refine", type=int, default=None)
     q.add_argument("--input", default=None,
                    help="source embeddings (required with --refine)")
+    q.add_argument("--table", action="store_true",
+                   help="treat --input/--probes as metastore table names")
     args = ap.parse_args()
+    if args.cmd == "query" and args.refine is not None and not args.input:
+        ap.error("--refine requires --input (source embeddings for the "
+                 "exact re-rank)")
 
     spark = SparkSession.getActiveSession()
     if spark is None:
@@ -79,7 +92,7 @@ def main() -> int:
     from sequential_query_expansion_spark.operators import similarity as sim
 
     if args.cmd == "build":
-        emb = _read(spark, args.input)
+        emb = _read(spark, args.input, args.table)
         # coarse quantizer: deterministic sampled-row init, refined with
         # plain-L2 Lloyd passes — pq_train at m=1 is exactly a
         # distributed full-vector L2 k-means (one assignment job + one
@@ -116,11 +129,11 @@ def main() -> int:
               f"({args.n_centroids} lists, m={args.m}) -> {args.output}")
         return 0
 
-    probes = _read(spark, args.probes).select(
+    probes = _read(spark, args.probes, args.table).select(
         F.col(args.id_col).alias("probe_id"),
         F.col(args.vec_col).alias("embedding"),
     )
-    emb = _read(spark, args.input) if args.input else None
+    emb = _read(spark, args.input, args.table) if args.input else None
     out = ann.query_ivfpq(
         spark, args.index, probes, k=args.k, nprobe=args.nprobe,
         refine=args.refine,

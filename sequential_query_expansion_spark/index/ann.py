@@ -187,17 +187,30 @@ def _code_frames(spark: SparkSession, out_dir: str, bucket_filter=None):
         seg = spark.read.parquet(seg_root)  # partition cols: segment, bucket
         if bucket_filter is not None:
             seg = seg.filter(bucket_filter)
-        frames.append(seg.select("vec_id", "bucket", "codes"))
-    df = frames[0]
-    for extra in frames[1:]:
-        df = df.unionByName(extra)
-    if len(frames) > 1:
-        # a vector can legitimately appear twice: compact_ann_codes may
-        # fold a segment whose stream batch never COMMITTED, and the
-        # replayed batch then rewrites the same segment. Rows are
-        # bit-identical (frozen codebooks -> deterministic encode), so
-        # dedup by vec_id is exact; base-only reads skip the exchange.
-        df = df.dropDuplicates(["vec_id"])
+        frames.append(seg.select("vec_id", "bucket", "codes", "segment"))
+    if len(frames) == 1:
+        return frames[0]  # base-only reads skip the exchange
+    # A vec_id can legitimately appear twice: compact_ann_codes may fold
+    # a segment whose stream batch never COMMITTED, and the replayed
+    # batch then rewrites the same segment (rows bit-identical under the
+    # frozen codebooks). But a caller may also stream an UPDATED vector
+    # for an existing id, where an arbitrary pick would be wrong — so
+    # resolve deterministically: newest segment wins, segments win over
+    # base (base rows get priority -1; segment ids are monotone stream
+    # batch ids).
+    df = (
+        frames[0].withColumn("_prio", F.lit(-1).cast("long"))
+        .unionByName(
+            frames[1].withColumn("_prio", F.col("segment").cast("long"))
+            .drop("segment")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("bucket", "codes"), F.col("_prio")).alias("_r")
+        )
+        .select("vec_id", F.col("_r.bucket").alias("bucket"),
+                F.col("_r.codes").alias("codes"))
+    )
     return df
 
 

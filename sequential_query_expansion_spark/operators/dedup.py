@@ -639,6 +639,8 @@ def duplicate_components(
     at near-dup pair-graph shapes, noted so nobody rediscovers it at
     scale-up.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

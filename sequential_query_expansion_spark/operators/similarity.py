@@ -593,7 +593,18 @@ def pq_encode(
     codewords switch from literal column algebra to the broadcast-tensor
     mapInPandas kernel (rank-identity-tested against the literal path);
     ``score_round`` rounds distances before the argmin so a cross-engine
-    oracle cannot flip a near-tie."""
+    oracle cannot flip a near-tie.
+
+    Residual caveat (same family as _coarse_l2's cancellation note): at
+    an EXACT decimal half boundary of ``score_round`` the two paths can
+    disagree — the literal path rounds via Spark ``F.round`` (HALF_UP)
+    while the kernel uses ``np.round`` (half-even). Real squared
+    distances land on exact halves with probability ~0 and the
+    rank-identity tests straddle the threshold without hitting one; we
+    keep each side's native rounding because the oracle-checked literal
+    path must match SQL ROUND and the kernel must match the numpy
+    trainer, and forcing either onto the other would trade a
+    theoretical tie for a real cross-engine mismatch."""
     codebooks = np.asarray(codebooks, dtype=np.float64)
     m, k, dsub = codebooks.shape
     if m * k > max_literal:

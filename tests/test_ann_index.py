@@ -194,6 +194,81 @@ def test_streaming_append_then_compact(spark, emb, codebooks,
     ann.compact_ann_codes(spark, out)
 
 
+def test_streamed_update_resolves_newest_wins(spark, emb, codebooks,
+                                              tmp_path_factory):
+    """When a caller streams an UPDATED embedding for an EXISTING vec_id,
+    resolution must be deterministic: segment rows beat base rows and a
+    newer segment beats an older one (not an arbitrary dropDuplicates
+    pick). Verified by checking the merged code row for the updated id
+    equals a fresh encode of the LAST streamed vector."""
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("annupd")
+    out = str(root / "idx")
+    drops = str(root / "drops")
+    os.makedirs(drops)
+    cents = sim.ivf_centroids(64, 8, seed=9)
+
+    def as_double(df):
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+
+    ann.write_ivfpq(
+        as_double(emb.filter(F.col("vec_id") < 100)), out, cents,
+        codebooks, score_round=6,
+    )
+    # two updates for the SAME existing id=5: first to vec 450's
+    # embedding, then to vec 470's — each its own micro-batch/segment
+    for src in (450, 470):
+        as_double(
+            emb.filter(F.col("vec_id") == src)
+        ).withColumn("vec_id", F.lit(5).cast("long")).write.mode(
+            "append"
+        ).parquet(drops)
+        ann.start_incremental_ann(spark, drops, out).awaitTermination()
+
+    merged = ann._code_frames(spark, out).filter(F.col("vec_id") == 5)
+    rows = merged.collect()
+    assert len(rows) == 1, rows  # exactly one surviving row per id
+    _, c, cbs = ann.load_ivfpq(out)
+    want = sim.ivfpq_encode(
+        as_double(emb.filter(F.col("vec_id") == 470)).select(
+            F.lit(5).cast("long").alias("vec_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        c, cbs, 6,
+    ).collect()[0]
+    assert rows[0]["bucket"] == want["bucket"]
+    assert list(rows[0]["codes"]) == list(want["codes"])
+    # and the loser vectors encode differently, so the assert is not
+    # vacuous (id 5's original and id 450's update differ from 470's)
+    for src in (5, 450):
+        other = sim.ivfpq_encode(
+            as_double(emb.filter(F.col("vec_id") == src)).select(
+                F.lit(5).cast("long").alias("vec_id"),
+                F.col("embedding").alias("vec"),
+            ),
+            c, cbs, 6,
+        ).collect()[0]
+        assert (other["bucket"], list(other["codes"])) != (
+            want["bucket"], list(want["codes"])
+        )
+
+
+def test_duplicate_components_rejects_nonpositive_iters(spark):
+    from sequential_query_expansion_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup.duplicate_components(pairs, max_iters=0)
+
+
 def test_republish_invalidates_stale_segments(spark, emb, codebooks,
                                               tmp_path_factory):
     """A republish (e.g. after retraining codebooks) must clear streamed
