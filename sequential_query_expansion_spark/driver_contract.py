@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .evalmetrics import evaluate
 from .expansion.rm3 import rm3_expand_df, rm3_topk
-from .functions.text import TOKENIZE_SQL_DUCKDB
+from .functions.text import TOKENIZE_SQL_DUCKDB, tokenize_col
 from .index.build import K1, B
 from .operators import dedup, similarity, text_analysis
 from .scoring.bm25 import query_term_table, score_topk
@@ -1310,6 +1310,98 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("frame_feat", 2).cast("double"), 4).alias("g_mean"),
         F.round(F.element_at("frame_feat", 3).cast("double"), 4).alias("b_mean"),
         F.round(F.element_at("frame_feat", 4).cast("double"), 4).alias("gray_std"),
+    )
+
+
+AUD_PROBE_N = 12               # synthetic WAV probes (doc_id 0..N-1)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path end-to-end, value-oracled: deterministic
+    synthetic int16 PCM (operators/multimodal._synth_audio_samples) is
+    WAV-ENCODED (RIFF container via the stdlib), decoded back inside a
+    mapInPandas batch, and reduced to duration + clip-mean MFCCs. The
+    oracle recomputes duration and MFCCs from the RAW sample arrays — no
+    WAV in its loop — so any container round-trip corruption surfaces as
+    a value mismatch (same pattern as image_features/video_frames)."""
+    from .operators import multimodal as mm
+
+    docs = load_documents(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < AUD_PROBE_N
+    )
+    feats = mm.audio_features(mm.synthesize_audio_table(docs))
+    return feats.select(
+        "doc_id",
+        F.round(F.col("duration_s").cast("double"), 4).alias("duration_s"),
+        *[
+            F.round(F.element_at("mfcc", i + 1).cast("double"), 4).alias(f"c{i}")
+            for i in range(13)
+        ],
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition gates (operators/text_analysis
+    .repetition_stats): zero-shuffle per-row array algebra; the oracle
+    recomputes multiplicities relationally (explode → GROUP BY) — a
+    different op shape on purpose, so the sorted-adjacency/longest-run
+    kernel is verified against an independent counting method."""
+    return text_analysis.repetition_stats(load_documents(spark, sf_dir))
+
+
+DECON_N = 8                    # n-gram order for decontamination
+DECON_THRESHOLD = 0.5
+DECON_BENCH_ITEMS = 5          # bench items derived from the corpus
+DECON_SPAN = (5, 15)           # tokens 5..19 of each source doc
+DECON_MIN_TOKENS = 24
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.ngram_overlap):
+    bench items are 15-token spans lifted from the corpus's 5 smallest
+    long docs, so every item's source doc must flag at overlap 1.0 (plus
+    any byte-duplicate of it) — the entry cannot be vacuously green. The
+    oracle re-derives the bench spans and the distinct-8-gram overlap
+    from the raw documents table."""
+    from .operators import decontam
+
+    docs = load_documents(spark, sf_dir)
+    d = docs.select("doc_id", tokenize_col(F.col("text")).alias("toks"))
+    off, span = DECON_SPAN
+    bench = (
+        d.filter(F.size("toks") >= DECON_MIN_TOKENS)
+        .orderBy("doc_id")
+        .limit(DECON_BENCH_ITEMS)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.expr(f"slice(toks, {off}, {span})")).alias("text"),
+        )
+    )
+    return decontam.ngram_overlap(
+        docs, bench, n=DECON_N, threshold=DECON_THRESHOLD
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/dedup.url_dedup) over deterministic
+    variant URLs derived from doc_id: every group of 4 consecutive ids
+    carries the same page behind scheme/www/query/fragment/case noise,
+    and both engines must canonicalize all four variants together."""
+    base = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.org/p"), base))
+        .when(v == 1, F.concat(F.lit("http://www.example.org/p"), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://example.org/p"), base,
+                               F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("HTTPS://EXAMPLE.ORG/p"), base, F.lit("#frag")))
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", url.alias("url"))
+    return dedup.url_dedup(docs).select(
+        "canonical",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_doc").cast("long").alias("keep_doc"),
+        F.array_join("dup_docs", ",").alias("dup_csv"),
     )
 
 
@@ -3858,6 +3950,112 @@ SELECT source || '.example.org' AS host,
 FROM g GROUP BY source
 """
 
+    # Gopher repetition gates: multiplicities recomputed RELATIONALLY
+    # (explode -> GROUP BY) vs the engine's zero-shuffle sorted-array
+    # kernel — independent op shapes, identical integer counts
+    sql["repetition_stats"] = f"""
+WITH {_BASE},
+bgi AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM doctoks WHERE len(toks) >= 2),
+bg AS (SELECT b.doc_id, array_to_string(d.toks[b.i:b.i+1], ' ') AS g
+       FROM bgi b JOIN doctoks d USING (doc_id)),
+tgi AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM doctoks WHERE len(toks) >= 3),
+tg AS (SELECT t.doc_id, array_to_string(d.toks[t.i:t.i+2], ' ') AS g
+       FROM tgi t JOIN doctoks d USING (doc_id)),
+btop AS (SELECT doc_id, max(c) AS topc FROM (
+           SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+         GROUP BY doc_id),
+tdup AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupocc FROM (
+           SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+         GROUP BY doc_id)
+SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(d.toks) > 0
+             THEN (len(d.toks) - len(list_distinct(d.toks)))::DOUBLE / len(d.toks)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(d.toks) >= 2
+             THEN coalesce(b.topc, 0)::DOUBLE / (len(d.toks) - 1)
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(d.toks) >= 3
+             THEN coalesce(t.dupocc, 0)::DOUBLE / (len(d.toks) - 2)
+             ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM doctoks d LEFT JOIN btop b USING (doc_id) LEFT JOIN tdup t USING (doc_id)
+"""
+
+    # decontamination: bench spans + distinct-8-gram overlap re-derived
+    # from the raw documents table (source docs must flag at 1.0)
+    doff, dspan = DECON_SPAN
+    sql["decontaminate"] = f"""
+WITH {_BASE},
+longd AS (SELECT doc_id AS bench_id, toks[{doff}:{doff + dspan - 1}] AS btoks
+          FROM doctoks WHERE len(toks) >= {DECON_MIN_TOKENS}
+          ORDER BY doc_id LIMIT {DECON_BENCH_ITEMS}),
+bgi AS (SELECT bench_id, unnest(generate_series(1, {dspan - DECON_N + 1})) AS i
+        FROM longd),
+bgrams AS (SELECT DISTINCT b.bench_id,
+                  array_to_string(l.btoks[b.i:b.i+{DECON_N - 1}], ' ') AS gram
+           FROM bgi b JOIN longd l USING (bench_id)),
+btot AS (SELECT bench_id, count(*)::BIGINT AS bench_ngrams
+         FROM bgrams GROUP BY bench_id),
+dgi AS (SELECT doc_id, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS i
+        FROM doctoks WHERE len(toks) >= {DECON_N}),
+dgrams AS (SELECT DISTINCT g.doc_id,
+                  array_to_string(d.toks[g.i:g.i+{DECON_N - 1}], ' ') AS gram
+           FROM dgi g JOIN doctoks d USING (doc_id)),
+m AS (SELECT d.doc_id, b.bench_id, count(*)::BIGINT AS matched_ngrams
+      FROM dgrams d JOIN bgrams b USING (gram) GROUP BY d.doc_id, b.bench_id)
+SELECT m.doc_id, m.bench_id, m.matched_ngrams, t.bench_ngrams,
+       round(m.matched_ngrams::DOUBLE / t.bench_ngrams, 6) AS overlap_frac,
+       (m.matched_ngrams::DOUBLE / t.bench_ngrams) >= {DECON_THRESHOLD} AS flagged
+FROM m JOIN btot t USING (bench_id)
+"""
+
+    # URL dedup: the same four canonicalization regexes replayed verbatim
+    sql["url_dedup"] = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://example.org/p' || (doc_id // 4)
+           WHEN 1 THEN 'http://www.example.org/p' || (doc_id // 4) || '/'
+           WHEN 2 THEN 'https://example.org/p' || (doc_id // 4) || '?utm_source=feed'
+           ELSE 'HTTPS://EXAMPLE.ORG/p' || (doc_id // 4) || '#frag'
+         END AS url
+  FROM documents),
+c AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url), '^https?://', ''), '^www\\.', ''),
+                 '[?#].*$', ''), '/$', '') AS canonical
+      FROM u)
+SELECT canonical, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc,
+       coalesce(array_to_string(list_sort(list(doc_id))[2:], ','), '') AS dup_csv
+FROM c GROUP BY canonical
+"""
+
+    # audio features: duration + clip-mean MFCCs recomputed from the RAW
+    # int16 samples (no WAV in the oracle's loop) then quantized through
+    # float32 like the engine's stored features — the RIFF encode->decode
+    # round-trip is what the comparison verifies
+    from .functions import media as _media
+    from .operators.multimodal import _synth_audio_samples
+
+    aud_vals = []
+    for i in range(AUD_PROBE_N):
+        s = _synth_audio_samples(i)
+        mf = _media.mfcc_frames(s, 8000).mean(axis=0).astype("float32")
+        dur = float(_np.float32(len(s) / 8000.0))
+        aud_vals.append(
+            f"({i}, {dur!r}, " + ", ".join(repr(float(v)) for v in mf) + ")"
+        )
+    aud_cols = ", ".join(f"c{i}" for i in range(13))
+    aud_rounds = ",\n       ".join(f"round(c{i}, 4) AS c{i}" for i in range(13))
+    sql["audio_features"] = f"""
+WITH aud(doc_id, duration_s, {aud_cols}) AS (VALUES
+    {",".join(aud_vals)})
+SELECT doc_id::BIGINT AS doc_id, round(duration_s, 4) AS duration_s,
+       {aud_rounds}
+FROM aud
+"""
+
     return {name: _materialize_ctes(body) for name, body in sql.items()}
 
 
@@ -3879,19 +4077,53 @@ def _materialize_ctes(sql: str) -> str:
     return _MAT_RE.sub(lambda m: f"{m.group(1)} AS MATERIALIZED (", sql)
 
 
-# Ordered dict IS the driver's execution order. The five entries the
-# round-2 driver run never reached (it stopped after the 50th entry;
-# CORRECTNESS_r02.json holds exactly the first 50 in dict order) run
-# FIRST this round so a budget cutoff can only ever hit entries that
-# already have a green driver row on record.
+# Ordered dict IS the driver's execution order, and the driver caps a
+# round's correctness run at the FIRST 50 entries. Ordering policy:
+# (1) entries that have never been driver-verified run first (the four
+# round-5 additions), then (2) entries whose most recent green driver
+# row predates the current code (last verified in r2/r3 — the 50-cap
+# rotated them out of r4), then (3) entries green in CORRECTNESS_r04
+# whose code paths are unchanged since. Everything past the cap is
+# re-verified every session by jobs/run_contract_mimic.py (same DuckDB
+# comparison; artifacts/CORRECTNESS_MIMIC_r*.json).
 SPARK_QUERIES = {
+    # round-5 additions (never driver-verified -> first)
+    "repetition_stats": q_repetition_stats,  # Gopher repetition gates
+    "decontaminate": q_decontaminate,        # benchmark n-gram overlap
+    "url_dedup": q_url_dedup,                # URL canonicalization dedup
+    "audio_features": q_audio_features,      # WAV -> duration + MFCCs
+    # last driver row r2/r3 (rotate back through the driver)
+    "cooccur_expand": q_cooccur_expand,
+    "feature_expand": q_feature_expand,
+    "sequential_expand_topk": q_sequential_expand_topk,
+    "umls_concept_expand": q_umls_concept_expand,
+    "conceptnet_edges": q_conceptnet_edges,
+    "trec_run_roundtrip": q_trec_run_roundtrip,
+    "indri_cfg_roundtrip": q_indri_cfg_roundtrip,
+    "stemmed_tokens": q_stemmed_tokens,
+    "grid_search_map": q_grid_search_map,
+    "assoc_expand": q_assoc_expand,
+    "working_set_rescore": q_working_set_rescore,
+    "od_bigram_counts": q_od_bigram_counts,
+    "od_bigram_postings": q_od_bigram_postings,
+    "uw_pair_counts": q_uw_pair_counts,
+    "phrase_weighted_topk": q_phrase_weighted_topk,
+    "indri_query_topk": q_indri_query_topk,
+    "phrase_rm3_topk": q_phrase_rm3_topk,
+    "local_indri_rm3_topk": q_local_indri_rm3_topk,
+    "doc_fetch": q_doc_fetch,
+    "stats_by_source": q_stats_by_source,
+    "bigram_stats": q_bigram_stats,
+    # green in r4; ann.py/dedup.py changed after that run -> keep early
+    "ivfpq_incremental_topk": q_ivfpq_incremental_topk,  # streamed ANN
+    "dedup_components": q_dedup_components,  # dup clustering + survivor
+    # green in r4, code unchanged since
     "quality_pipeline": q_quality_pipeline,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,    # LSH-bucketed (approximate)
     "cosine_topk_ivf": q_cosine_topk_ivf,    # IVF (approximate)
     "ivf_train_step": q_ivf_train_step,      # IVF codebook trainer
     "cosine_pairs": q_cosine_pairs,
-    # round-3 additions (also never driver-verified -> early)
     "image_features": q_image_features,
     "video_frames": q_video_frames,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3900,13 +4132,10 @@ SPARK_QUERIES = {
     "live_delete_topk": q_live_delete_topk,
     "merge_then_query": q_merge_then_query,
     "ivf_train_multi": q_ivf_train_multi,
-    # round-4 additions (never driver-verified -> early)
     "pq_topk_adc": q_pq_topk_adc,            # PQ codes + integer ADC
     "pq_train_step": q_pq_train_step,        # PQ codebook trainer
     "pq_train_multi": q_pq_train_multi,      # PQ trainer iteration loop
     "ivfpq_topk": q_ivfpq_topk,              # coarse lists + residual PQ
-    "ivfpq_incremental_topk": q_ivfpq_incremental_topk,  # streamed ANN
-    "dedup_components": q_dedup_components,  # dup clustering + survivor
     "collection_stats": q_collection_stats,
     "vocab_stats": q_vocab_stats,
     "postings_lists": q_postings_lists,
@@ -3937,25 +4166,4 @@ SPARK_QUERIES = {
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "eval_metrics": q_eval_metrics,
     "inferred_eval": q_inferred_eval,
-    "cooccur_expand": q_cooccur_expand,
-    "feature_expand": q_feature_expand,
-    "sequential_expand_topk": q_sequential_expand_topk,
-    "umls_concept_expand": q_umls_concept_expand,
-    "conceptnet_edges": q_conceptnet_edges,
-    "trec_run_roundtrip": q_trec_run_roundtrip,
-    "indri_cfg_roundtrip": q_indri_cfg_roundtrip,
-    "stemmed_tokens": q_stemmed_tokens,
-    "grid_search_map": q_grid_search_map,
-    "assoc_expand": q_assoc_expand,
-    "working_set_rescore": q_working_set_rescore,
-    "od_bigram_counts": q_od_bigram_counts,
-    "od_bigram_postings": q_od_bigram_postings,
-    "uw_pair_counts": q_uw_pair_counts,
-    "phrase_weighted_topk": q_phrase_weighted_topk,
-    "indri_query_topk": q_indri_query_topk,
-    "phrase_rm3_topk": q_phrase_rm3_topk,
-    "local_indri_rm3_topk": q_local_indri_rm3_topk,
-    "doc_fetch": q_doc_fetch,
-    "stats_by_source": q_stats_by_source,
-    "bigram_stats": q_bigram_stats,
 }

@@ -24,7 +24,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,6 +77,46 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         )
         .select(
             "fp",
+            "n_docs",
+            F.element_at("ids", 1).alias("keep_doc"),
+            F.slice("ids", 2, 1_000_000).alias("dup_docs"),
+        )
+    )
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a web URL for URL-level dedup: lowercase, strip
+    the scheme, a leading ``www.``, everything from the first ``?`` or
+    ``#`` (query/fragment), and a trailing slash. Pure built-in regex
+    chain — whole-stage codegen, and the same four regexes replay
+    verbatim in the DuckDB oracle. (A production pipeline adds
+    tracking-param stripping and IDN normalization; those are
+    site-policy, not engine, concerns.)"""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.regexp_replace(c, "[?#].*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup groups — the FIRST pass a Common-Crawl-style
+    pipeline runs (cheaper than any content hash; CC itself is ~25%
+    same-URL recrawls). -> (canonical, n_docs, keep_doc, dup_docs),
+    keep_doc the smallest id. Same single hash-groupBy shape as
+    exact_dedup: only (canonical, id) pairs shuffle, never pages."""
+    return (
+        docs.select(
+            canonical_url(F.col(url_col)).alias("canonical"), F.col(id_col)
+        )
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .select(
+            "canonical",
             "n_docs",
             F.element_at("ids", 1).alias("keep_doc"),
             F.slice("ids", 2, 1_000_000).alias("dup_docs"),

@@ -228,14 +228,21 @@ def _synth_image(doc_id: int, w: int = 32, h: int = 24) -> bytes:
     return media.png_encode(_synth_image_pixels(doc_id, w, h))
 
 
-def _synth_audio(doc_id: int, rate: int = 8000) -> bytes:
+def _synth_audio_samples(doc_id: int, rate: int = 8000) -> np.ndarray:
+    """Deterministic raw int16 PCM — exposed separately so oracles can
+    recompute features from the RAW samples, making the WAV encode/decode
+    round-trip part of what a value comparison verifies."""
     rng = np.random.default_rng(doc_id)
     dur = 0.5 + (doc_id % 8) * 0.25
     t = np.arange(int(dur * rate)) / rate
     f1, f2 = 200.0 + (doc_id % 10) * 50.0, 1000.0 + (doc_id % 5) * 120.0
     sig = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
     sig += 0.02 * rng.standard_normal(len(t))
-    return media.wav_encode((sig * 20000).astype(np.int16), rate)
+    return (sig * 20000).astype(np.int16)
+
+
+def _synth_audio(doc_id: int, rate: int = 8000) -> bytes:
+    return media.wav_encode(_synth_audio_samples(doc_id, rate), rate)
 
 
 def _synth_video_frames(doc_id: int, w: int = 16, h: int = 12) -> list:

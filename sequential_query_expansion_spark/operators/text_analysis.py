@@ -111,6 +111,79 @@ def quality_score(
     )
 
 
+def _grams_sql(toks: str, n: int) -> str:
+    """SQL expr building the word n-gram array of ``toks`` (space-joined,
+    empty array below n tokens). The sequence() is guarded because Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not an empty array."""
+    return (
+        f"IF(size({toks}) >= {n}, "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))), "
+        f"CAST(array() AS array<string>))"
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, top_bigram_frac, dup_trigram_frac)
+    — Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1), the standard quality gates a
+    training-data pipeline runs after the cheap length filters:
+
+      dup_word_frac     1 - distinct/total tokens
+      top_bigram_frac   occurrences of the most frequent bigram / (n-1)
+      dup_trigram_frac  occurrences of trigrams appearing >= 2x / (n-2)
+
+    100 TB shape: pure per-row array algebra — grams never leave their
+    document, so there is NO explode and NO shuffle; the whole operator is
+    one whole-stage-codegen projection over the scan. Multiplicities come
+    from sorted-array adjacency (run length == gram count), which Spark's
+    higher-order ``aggregate``/``filter`` evaluate in-line per row.
+    """
+    d = docs.select(
+        F.col(id_col), tokenize_col(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    d = d.withColumn("bg", F.expr("array_sort(" + _grams_sql("toks", 2) + ")"))
+    d = d.withColumn("tg", F.expr("array_sort(" + _grams_sql("toks", 3) + ")"))
+    # longest run in the sorted bigram array == max bigram multiplicity
+    top_bg = F.expr(
+        "aggregate(bg, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, g) -> named_struct("
+        "  'prev', g, "
+        "  'run', IF(acc.prev <=> g, acc.run + 1L, 1L), "
+        "  'best', GREATEST(acc.best, IF(acc.prev <=> g, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    )
+    # positions whose trigram occurs >= 2x == sorted positions that equal a
+    # neighbor (guarded: empty array would make sequence(1, 0) descend)
+    dup_tg = F.expr(
+        "IF(size(tg) = 0, 0L, CAST(size(filter(sequence(1, size(tg)), i -> "
+        "(i > 1 AND element_at(tg, i) = element_at(tg, i - 1)) OR "
+        "(i < size(tg) AND element_at(tg, i) = element_at(tg, i + 1)))) "
+        "AS BIGINT))"
+    )
+    n = F.col("n")
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                n > 0,
+                (n - F.size(F.array_distinct("toks"))).cast("double") / n,
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(n >= 2, top_bg.cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(n >= 3, dup_tg.cast("double") / (n - 2)).otherwise(0.0), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — md5 of the normalized text. The exact-dedup key:
     identical-after-normalization docs share fp (reference analogue: the

@@ -1,0 +1,154 @@
+"""Round-5 training-data-pipeline operators: Gopher repetition gates,
+benchmark decontamination, URL canonicalization dedup.
+
+Each test pins semantics on crafted inputs where the expected values are
+hand-computable — the DuckDB oracle parity at fixture scale is covered
+separately by the driver contract / mimic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequential_query_expansion_spark.operators import dedup, decontam
+from sequential_query_expansion_spark.operators.text_analysis import (
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        rows = {
+            r["doc_id"]: r
+            for r in repetition_stats(
+                _docs(
+                    spark,
+                    [
+                        "a a a a",          # max repetition
+                        "w x y z",          # no repetition
+                        "a b a b a b",      # periodic
+                        "solo",             # 1 token: no grams
+                        "",                 # empty
+                    ],
+                )
+            ).collect()
+        }
+        # "a a a a": 4 tokens, dup words 3/4; bigram "a a" x3 of 3 slots;
+        # trigram "a a a" x2 of 2 slots
+        assert rows[0]["n_tokens"] == 4
+        assert rows[0]["dup_word_frac"] == 0.75
+        assert rows[0]["top_bigram_frac"] == 1.0
+        assert rows[0]["dup_trigram_frac"] == 1.0
+        # "w x y z": everything distinct
+        assert rows[1]["dup_word_frac"] == 0.0
+        assert rows[1]["top_bigram_frac"] == pytest.approx(1.0 / 3, abs=1e-6)
+        assert rows[1]["dup_trigram_frac"] == 0.0
+        # "a b a b a b": 6 tokens, 2 distinct -> dup 4/6; "a b" x3 of 5;
+        # trigrams: aba x2, bab x2 -> all 4 positions duplicated
+        assert rows[2]["dup_word_frac"] == pytest.approx(4 / 6, abs=1e-6)
+        assert rows[2]["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+        assert rows[2]["dup_trigram_frac"] == 1.0
+        # short/empty docs: guarded to zero, not NULL/descending-sequence
+        for i in (3, 4):
+            assert rows[i]["top_bigram_frac"] == 0.0
+            assert rows[i]["dup_trigram_frac"] == 0.0
+        assert rows[4]["n_tokens"] == 0
+        assert rows[4]["dup_word_frac"] == 0.0
+
+    def test_zero_shuffle_plan(self, spark):
+        plan = repetition_stats(
+            _docs(spark, ["a b c"])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestDecontaminate:
+    def test_flagging_threshold(self, spark):
+        # bench item = 9 tokens -> two distinct 8-grams (t1..t8, t2..t9)
+        bench = spark.createDataFrame(
+            [(100, "t1 t2 t3 t4 t5 t6 t7 t8 t9")],
+            "bench_id long, text string",
+        )
+        docs = _docs(
+            spark,
+            [
+                "x t1 t2 t3 t4 t5 t6 t7 t8 y",        # 1 of 2 grams -> 0.5
+                "t1 t2 t3 t4 t5 t6 t7 t8 t9 pad",     # 2 of 2 -> 1.0
+                "t2 t3 t4 t5 t6 t7 t8 w1 w2 w3",      # 7-gram only -> no row
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in decontam.ngram_overlap(
+                docs, bench, n=8, threshold=0.5
+            ).collect()
+        }
+        assert set(out) == {0, 1}
+        assert out[0]["matched_ngrams"] == 1
+        assert out[0]["bench_ngrams"] == 2
+        assert out[0]["overlap_frac"] == 0.5
+        assert out[0]["flagged"] is True
+        assert out[1]["overlap_frac"] == 1.0 and out[1]["flagged"] is True
+
+    def test_below_threshold_not_flagged(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "a1 a2 a3 a4 b1 b2 b3 b4 b5 b6 b7")],  # 4 distinct 8-grams
+            "bench_id long, text string",
+        )
+        docs = _docs(spark, ["z a1 a2 a3 a4 b1 b2 b3 b4 z"])  # 1 of 4
+        (row,) = decontam.ngram_overlap(docs, bench, n=8, threshold=0.5).collect()
+        assert row["matched_ngrams"] == 1 and row["bench_ngrams"] == 4
+        assert row["flagged"] is False
+
+    def test_normalization_both_sides(self, spark):
+        # punctuation/case noise must not defeat the match
+        bench = spark.createDataFrame(
+            [(1, "The, QUICK brown; fox (jumps) over a lazy dog!")],
+            "bench_id long, text string",
+        )
+        docs = _docs(spark, ["pad the quick brown fox jumps over a lazy dog"])
+        (row,) = decontam.ngram_overlap(docs, bench, n=8, threshold=0.5).collect()
+        assert row["flagged"] is True
+
+    def test_rejects_bad_n(self, spark):
+        with pytest.raises(ValueError):
+            decontam.ngram_overlap(
+                _docs(spark, ["a"]), _docs(spark, ["a"]), n=0
+            )
+
+
+class TestUrlDedup:
+    def test_variants_collapse(self, spark):
+        urls = [
+            "https://example.org/page",
+            "http://www.example.org/page/",
+            "HTTPS://EXAMPLE.ORG/page#frag",
+            "https://example.org/page?utm_source=feed",
+            "https://example.org/other",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+        out = {r["canonical"]: r for r in dedup.url_dedup(df).collect()}
+        assert set(out) == {"example.org/page", "example.org/other"}
+        grp = out["example.org/page"]
+        assert grp["n_docs"] == 4
+        assert grp["keep_doc"] == 0
+        assert grp["dup_docs"] == [1, 2, 3]
+        assert out["example.org/other"]["n_docs"] == 1
+
+    def test_mid_url_query_stripped_once(self, spark):
+        # '?' strips to end of string even when a '/' follows it, and a
+        # www in the PATH is not stripped
+        df = spark.createDataFrame(
+            [(0, "https://a.org/x?q=1/www.b.com"), (1, "https://a.org/x")],
+            "doc_id long, url string",
+        )
+        out = dedup.url_dedup(df).collect()
+        assert len(out) == 1 and out[0]["n_docs"] == 2
