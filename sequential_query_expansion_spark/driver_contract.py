@@ -1405,6 +1405,49 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.pii_scan) over the corpus
+    text with deterministic planted PII (emails on ids %3, IPs on %4,
+    phones on %5) so counts are non-trivially non-zero at every sf. The
+    oracle replays the plant and the pattern table verbatim in RE2 (the
+    patterns are restricted to Java/RE2-identical syntax) and matches
+    md5(redacted) — byte-level masking is what the value check verifies."""
+    from .operators import pii
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" mail u"), s(d % 7), F.lit("@host"), s(d % 5),
+                     F.lit(".example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" from 10."), s(d % 200), F.lit("."), s(d % 50),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-0"), s(d % 90 + 10), F.lit("-"),
+                     s(d % 9000 + 1000)),
+        ).otherwise(F.lit("")),
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return pii.pii_scan(docs).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "has_pii",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_fp"),
+    )
+
+
 def q_conceptnet_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 ConceptNet CSV scan with the F3 printable-ASCII gate and the
     two-way adjacency insert (optParams/...coordAsc.ipynb:277-295)."""
@@ -4031,6 +4074,40 @@ SELECT canonical, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc,
 FROM c GROUP BY canonical
 """
 
+    # PII scan: the plant and the pattern table replayed verbatim (the
+    # patterns use only Java/RE2-identical syntax); md5(redacted) pins the
+    # byte-level masking, not just the counts
+    from .operators.pii import PII_PATTERNS as _PII
+
+    pii_counts = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{pat}', 0))::BIGINT AS n_{name}"
+        for name, pat in _PII
+    )
+    pii_redact = "t"
+    for name, pat in _PII:
+        pii_redact = (
+            f"regexp_replace({pii_redact}, '{pat}', '[{name.upper()}]', 'g')"
+        )
+    pii_any = " OR ".join(
+        f"len(regexp_extract_all(t, '{pat}', 0)) > 0" for name, pat in _PII
+    )
+    sql["pii_scan"] = f"""
+WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' mail u' || (doc_id % 7) || '@host' ||
+         (doc_id % 5) || '.example.org' ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 200) || '.' ||
+         (doc_id % 50) || '.7' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-0' || (doc_id % 90 + 10) || '-' ||
+         (doc_id % 9000 + 1000) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  {pii_counts},
+  ({pii_any}) AS has_pii,
+  md5({pii_redact}) AS redacted_fp
+FROM p
+"""
+
     # audio features: duration + clip-mean MFCCs recomputed from the RAW
     # int16 samples (no WAV in the oracle's loop) then quantized through
     # float32 like the engine's stored features — the RIFF encode->decode
@@ -4092,6 +4169,7 @@ SPARK_QUERIES = {
     "decontaminate": q_decontaminate,        # benchmark n-gram overlap
     "url_dedup": q_url_dedup,                # URL canonicalization dedup
     "audio_features": q_audio_features,      # WAV -> duration + MFCCs
+    "pii_scan": q_pii_scan,                  # PII counts + redaction
     # last driver row r2/r3 (rotate back through the driver)
     "cooccur_expand": q_cooccur_expand,
     "feature_expand": q_feature_expand,

@@ -1,5 +1,5 @@
 """Round-5 training-data-pipeline operators: Gopher repetition gates,
-benchmark decontamination, URL canonicalization dedup.
+benchmark decontamination, URL canonicalization dedup, PII redaction.
 
 Each test pins semantics on crafted inputs where the expected values are
 hand-computable — the DuckDB oracle parity at fixture scale is covered
@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from sequential_query_expansion_spark.operators import dedup, decontam
+from sequential_query_expansion_spark.operators import dedup, decontam, pii
 from sequential_query_expansion_spark.operators.text_analysis import (
     repetition_stats,
 )
@@ -152,3 +152,57 @@ class TestUrlDedup:
         )
         out = dedup.url_dedup(df).collect()
         assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in pii.pii_scan(
+                _docs(
+                    spark,
+                    [
+                        "mail me at jo.doe+x@sub.example.org today",
+                        "no pii in this document",
+                        "hosts 10.0.0.1 and 192.168.1.255 up",
+                        "call 555-012-3456 or 555.987.6543",
+                        "a@b.co 1.2.3.4 555-111-2222",
+                    ],
+                )
+            ).collect()
+        }
+        assert (out[0]["n_email"], out[0]["has_pii"]) == (1, True)
+        assert out[0]["redacted"] == "mail me at [EMAIL] today"
+        assert out[1]["has_pii"] is False
+        assert out[1]["redacted"] == "no pii in this document"
+        assert out[2]["n_ipv4"] == 2
+        assert out[2]["redacted"] == "hosts [IPV4] and [IPV4] up"
+        assert out[3]["n_phone"] == 2
+        assert out[3]["redacted"] == "call [PHONE] or [PHONE]"
+        assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (
+            1, 1, 1,
+        )
+        assert out[4]["redacted"] == "[EMAIL] [IPV4] [PHONE]"
+
+    def test_email_swallows_ip_host(self, spark):
+        # counts are raw per-pattern matches on the ORIGINAL text, while
+        # redaction is sequential — an IP inside a mail host is masked as
+        # part of the address, never left half-redacted
+        (row,) = pii.pii_scan(_docs(spark, ["x mail@192.168.0.1.host.com y"])).collect()
+        assert row["n_email"] == 1 and row["n_ipv4"] == 1
+        assert row["redacted"] == "x [EMAIL] y"
+
+    def test_boundaries_hold(self, spark):
+        # digits glued to letters are not phones/IPs (\b), and a bare
+        # domain without '@' is not an email
+        (row,) = pii.pii_scan(
+            _docs(spark, ["v1.2.3.4x example.org build555-123-4567"])
+        ).collect()
+        assert row["has_pii"] is False
+
+    def test_zero_shuffle_plan(self, spark):
+        plan = (
+            pii.pii_scan(_docs(spark, ["a@b.co"]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
