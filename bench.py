@@ -229,6 +229,13 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("phrase_topk_batch", dc.q_phrase_weighted_topk)
     bench("minhash_dedup", dc.q_minhash_dedup)
     bench("simhash_pairs", dc.q_simhash_pairs)
+    # round-5 additions: the pre-index web-pipeline passes (URL dedup,
+    # repetition gates, PII redaction, benchmark decontamination) — new
+    # lines, so absent from pre-r5 BENCH files
+    bench("url_dedup", dc.q_url_dedup)
+    bench("repetition_stats", dc.q_repetition_stats)
+    bench("pii_scan", dc.q_pii_scan)
+    bench("decontaminate", dc.q_decontaminate)
     bench("cosine_topk", dc.q_cosine_topk)
     # round-4 addition: PQ encode + integer-ADC ranking (the compact-code
     # ANN path); new line, so absent from pre-r4 BENCH files
