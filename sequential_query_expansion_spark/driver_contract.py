@@ -1405,6 +1405,47 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_W = 6                     # tokens per synthetic line for line_dedup
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (operators/dedup.line_dedup — the C4/CCNet
+    boilerplate pass) over documents re-lined into 6-token lines with
+    planted boilerplate: every doc gets the same footer line and every
+    5th doc one of three promo lines, so the corpus-wide duplicate groups
+    are guaranteed and only the first (doc_id, pos) occurrence of each
+    may survive. The oracle rebuilds the lines and replays the keep rule
+    with an independent op shape (count + row_number windows instead of
+    the engine's groupBy-argmin + inner-join-drops); md5(text_dedup)
+    pins the byte-level reassembly."""
+    toks = tokenize_col(F.col("text"))
+    d = load_documents(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    body = F.concat_ws(
+        "\n",
+        F.expr(
+            f"IF(size(toks) = 0, CAST(array() AS array<string>), "
+            f"transform(sequence(1, CAST(ceil(size(toks) / {LINE_W}.0) AS INT)), "
+            f"i -> concat_ws(' ', slice(toks, (i - 1) * {LINE_W} + 1, {LINE_W}))))"
+        ),
+    )
+    did = F.col("doc_id")
+    txt = F.concat(
+        body,
+        F.lit("\nall rights reserved footer"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("\nsubscribe tier "), (did % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    out = dedup.line_dedup(d.select("doc_id", txt.alias("text")), min_count=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_dedup").cast("binary")).alias("text_fp"),
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.pii_scan) over the corpus
     text with deterministic planted PII (emails on ids %3, IPs on %4,
@@ -4074,6 +4115,43 @@ SELECT canonical, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc,
 FROM c GROUP BY canonical
 """
 
+    # line dedup: same 6-token re-lining + boilerplate plant, but the keep
+    # rule replayed with count/row_number WINDOWS (vs the engine's
+    # groupBy-argmin + drop-join) — independent op shapes, identical rows
+    sql["line_dedup"] = f"""
+WITH {_BASE},
+ci AS (SELECT doc_id,
+              unnest(generate_series(1, CAST(ceil(len(toks) / {LINE_W}.0) AS INT))) AS i
+       FROM doctoks WHERE len(toks) > 0),
+body AS (SELECT c.doc_id,
+                string_agg(array_to_string(
+                    d.toks[(c.i - 1) * {LINE_W} + 1:(c.i - 1) * {LINE_W} + {LINE_W}],
+                    ' '), chr(10) ORDER BY c.i) AS b
+         FROM ci c JOIN doctoks d USING (doc_id) GROUP BY c.doc_id),
+txt AS (SELECT d.doc_id,
+               coalesce(b.b, '') || chr(10) || 'all rights reserved footer' ||
+               CASE WHEN d.doc_id % 5 = 0
+                    THEN chr(10) || 'subscribe tier ' || (d.doc_id % 3)
+                    ELSE '' END AS t
+        FROM doctoks d LEFT JOIN body b USING (doc_id)),
+l0 AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM txt),
+li AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS i FROM l0),
+lns AS (SELECT li.doc_id, li.i, l0.lst[li.i] AS ln
+        FROM li JOIN l0 USING (doc_id)),
+rk AS (SELECT doc_id, i, ln,
+              count(*) OVER (PARTITION BY ln) AS cnt,
+              row_number() OVER (PARTITION BY ln ORDER BY doc_id, i) AS rn
+       FROM lns),
+kept AS (SELECT doc_id, i, ln FROM rk WHERE cnt < 2 OR rn = 1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(ln, chr(10) ORDER BY i) AS t2
+        FROM kept GROUP BY doc_id)
+SELECT l0.doc_id, len(l0.lst)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       md5(coalesce(a.t2, '')) AS text_fp
+FROM l0 LEFT JOIN agg a USING (doc_id)
+"""
+
     # PII scan: the plant and the pattern table replayed verbatim (the
     # patterns use only Java/RE2-identical syntax); md5(redacted) pins the
     # byte-level masking, not just the counts
@@ -4170,6 +4248,7 @@ SPARK_QUERIES = {
     "url_dedup": q_url_dedup,                # URL canonicalization dedup
     "audio_features": q_audio_features,      # WAV -> duration + MFCCs
     "pii_scan": q_pii_scan,                  # PII counts + redaction
+    "line_dedup": q_line_dedup,              # C4-style boilerplate lines
     # last driver row r2/r3 (rotate back through the driver)
     "cooccur_expand": q_cooccur_expand,
     "feature_expand": q_feature_expand,

@@ -124,6 +124,73 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 / CCNet / RefinedWeb
+    boilerplate pass): a line occurring >= ``min_count`` times across the
+    corpus is kept only at its FIRST occurrence (lexicographically
+    smallest (doc_id, position)) and dropped everywhere else — cookie
+    banners, nav menus, copyright footers.
+
+    -> (doc_id, n_lines, n_kept, text_dedup) with surviving lines
+    rejoined in original order.
+
+    100 TB shape: two narrow shuffles and NO full-text reshuffle —
+    (1) exploded (line, doc, pos) triples groupBy line (map-side
+    combined) to get count + argmin-first; (2) only rows whose line IS
+    duplicated join back (inner join against the dup-lines subset, which
+    is the boilerplate minority) to produce a per-doc drop-position
+    list; the document table itself is joined on doc_id and filtered
+    in-row by position, so full document text never leaves its
+    partition. At petabyte scale you'd xxhash64 the line before the
+    groupBy (index/xxh64.py) — exact strings kept here so the DuckDB
+    oracle replays byte-for-byte (same note as decontam)."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    d = docs.select(id_col, F.split(F.col(text_col), sep).alias("lines"))
+    lines = d.select(
+        id_col, F.posexplode("lines").alias("pos", "line")
+    )
+    dup_stats = (
+        lines.groupBy("line")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct(id_col, "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= min_count)
+    )
+    drops = (
+        lines.join(dup_stats, "line")
+        .filter(
+            F.struct(F.col(id_col), F.col("pos")) != F.col("first")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("drop_pos"))
+    )
+    keep = F.filter(
+        "lines",
+        lambda x, i: ~F.array_contains(F.col("drop_pos"), i),
+    )
+    return (
+        d.join(drops, id_col, "left")
+        .withColumn(
+            "drop_pos",
+            F.coalesce(F.col("drop_pos"), F.array().cast("array<int>")),
+        )
+        .select(
+            id_col,
+            F.size("lines").cast("long").alias("n_lines"),
+            (F.size("lines") - F.size("drop_pos")).cast("long").alias("n_kept"),
+            F.concat_ws(sep, keep).alias("text_dedup"),
+        )
+    )
+
+
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 8) -> DataFrame:
     """(doc_id, shingle) exploded distinct n-gram shingles."""

@@ -154,6 +154,42 @@ class TestUrlDedup:
         assert len(out) == 1 and out[0]["n_docs"] == 2
 
 
+class TestLineDedup:
+    def test_first_occurrence_survives(self, spark):
+        texts = [
+            "unique a\nfooter line\nunique b",
+            "unique c\nfooter line",
+            "footer line\nunique d",
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(_docs(spark, texts)).collect()
+        }
+        # footer first occurs at (doc 0, pos 1): kept there, dropped later
+        assert out[0]["text_dedup"] == "unique a\nfooter line\nunique b"
+        assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 3)
+        assert out[1]["text_dedup"] == "unique c"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+        assert out[2]["text_dedup"] == "unique d"
+
+    def test_intra_doc_duplicates(self, spark):
+        (row,) = dedup.line_dedup(
+            _docs(spark, ["same line\nmiddle\nsame line"])
+        ).collect()
+        assert row["text_dedup"] == "same line\nmiddle"
+        assert (row["n_lines"], row["n_kept"]) == (3, 2)
+
+    def test_min_count_threshold(self, spark):
+        texts = ["twice\na", "twice\nb"]
+        out = dedup.line_dedup(_docs(spark, texts), min_count=3).collect()
+        # appears twice < 3: untouched everywhere
+        assert all(r["n_kept"] == r["n_lines"] for r in out)
+
+    def test_rejects_min_count_below_two(self, spark):
+        with pytest.raises(ValueError):
+            dedup.line_dedup(_docs(spark, ["a"]), min_count=1)
+
+
 class TestPiiScan:
     def test_counts_and_redaction(self, spark):
         out = {
