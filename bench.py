@@ -236,6 +236,7 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("repetition_stats", dc.q_repetition_stats)
     bench("pii_scan", dc.q_pii_scan)
     bench("decontaminate", dc.q_decontaminate)
+    bench("line_dedup", dc.q_line_dedup)
     bench("cosine_topk", dc.q_cosine_topk)
     # round-4 addition: PQ encode + integer-ADC ranking (the compact-code
     # ANN path); new line, so absent from pre-r4 BENCH files
