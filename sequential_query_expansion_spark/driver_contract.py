@@ -1405,6 +1405,46 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+MIX_DEFAULT = 1.0
+MIX_SALT = "mix"
+PACK_CAP = 96                  # tokens per packed training sequence
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/training_prep
+    .mixture_sample): per-source keep rates via an md5-prefix hash, so
+    the DuckDB oracle replays the exact surviving row set (the hash int
+    is 24-bit over a power-of-two modulus — the u < rate comparison is
+    exact in float64 in both engines). src0 at rate 0 proves drops;
+    unlisted sources default to 1.0 and must appear with weight 1."""
+    from .operators import training_prep
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    out = training_prep.mixture_sample(
+        docs, MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT
+    )
+    return out.select(
+        "doc_id", "source", F.round("sample_weight", 6).alias("sample_weight")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/training_prep.pack_sequences): global
+    token offsets from a distributed two-pass prefix sum (per-partition
+    sums -> broadcast offsets -> within-partition windows; NEVER a
+    global no-partition window). The oracle computes the same offsets
+    with one global SQL window — independent op shapes, identical
+    start/bin/overflow values."""
+    from .operators import training_prep
+
+    toks = tokenize_col(F.col("text"))
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return training_prep.pack_sequences(d, capacity=PACK_CAP)
+
+
 LINE_W = 6                     # tokens per synthetic line for line_dedup
 
 
@@ -4115,6 +4155,37 @@ SELECT canonical, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc,
 FROM c GROUP BY canonical
 """
 
+    # mixture sampling: the md5-prefix hash and the rate CASE replayed
+    # verbatim; the u < rate comparison is exact in float64 (24-bit int
+    # over 2^24), so the surviving row set matches bit-for-bit
+    mix_case = " ".join(
+        f"WHEN '{src}' THEN {r!r}" for src, r in MIX_RATES.items()
+    )
+    sql["mixture_sample"] = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source {mix_case} ELSE {MIX_DEFAULT!r} END AS rate,
+         ('0x' || substr(md5('{MIX_SALT}:' || doc_id), 1, 6))::BIGINT
+             / {16 ** 6}.0 AS u
+  FROM documents)
+SELECT doc_id, source, round(1.0 / rate, 6) AS sample_weight
+FROM r WHERE u < rate
+"""
+
+    # sequence packing: ONE global window replays the engine's
+    # distributed two-pass prefix sum
+    sql["pack_sequences"] = f"""
+WITH {_BASE},
+s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             (sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - len(toks))::BIGINT AS start_tok
+      FROM doctoks)
+SELECT doc_id, n_tokens, start_tok,
+       (start_tok // {PACK_CAP})::BIGINT AS bin_id,
+       ((start_tok % {PACK_CAP}) + n_tokens > {PACK_CAP}) AS overflow
+FROM s
+"""
+
     # line dedup: same 6-token re-lining + boilerplate plant, but the keep
     # rule replayed with count/row_number WINDOWS (vs the engine's
     # groupBy-argmin + drop-join) — independent op shapes, identical rows
@@ -4249,6 +4320,8 @@ SPARK_QUERIES = {
     "audio_features": q_audio_features,      # WAV -> duration + MFCCs
     "pii_scan": q_pii_scan,                  # PII counts + redaction
     "line_dedup": q_line_dedup,              # C4-style boilerplate lines
+    "mixture_sample": q_mixture_sample,      # deterministic data mixing
+    "pack_sequences": q_pack_sequences,      # token-bin sequence packing
     # last driver row r2/r3 (rotate back through the driver)
     "cooccur_expand": q_cooccur_expand,
     "feature_expand": q_feature_expand,

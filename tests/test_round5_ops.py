@@ -10,7 +10,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from sequential_query_expansion_spark.operators import dedup, decontam, pii
+from sequential_query_expansion_spark.operators import (
+    dedup,
+    decontam,
+    pii,
+    training_prep,
+)
 from sequential_query_expansion_spark.operators.text_analysis import (
     repetition_stats,
 )
@@ -242,3 +247,79 @@ class TestPiiScan:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+def _sourced(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"src{i % 3}", "w " * (i % 5 + 1)) for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+
+
+class TestMixtureSample:
+    def test_rates_and_weights(self, spark):
+        out = training_prep.mixture_sample(
+            _sourced(spark), {"src0": 0.0, "src1": 0.5}
+        ).toPandas()
+        assert (out["source"] != "src0").all()  # rate 0 drops everything
+        # default rate 1.0: every src2 doc survives with weight 1
+        assert (out[out.source == "src2"]["sample_weight"] == 1.0).all()
+        assert len(out[out.source == "src2"]) == 20
+        kept1 = out[out.source == "src1"]
+        assert (kept1["sample_weight"] == 2.0).all()
+        assert 0 < len(kept1) < 20  # a real subsample, not all-or-nothing
+
+    def test_deterministic_across_runs(self, spark):
+        a = training_prep.mixture_sample(_sourced(spark), {"src1": 0.3})
+        b = training_prep.mixture_sample(_sourced(spark), {"src1": 0.3})
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_salt_changes_sample(self, spark):
+        a = training_prep.mixture_sample(
+            _sourced(spark), {}, default_rate=0.5, salt="s1"
+        )
+        b = training_prep.mixture_sample(
+            _sourced(spark), {}, default_rate=0.5, salt="s2"
+        )
+        ids = lambda df: sorted(r["doc_id"] for r in df.collect())
+        assert ids(a) != ids(b)
+
+    def test_rejects_bad_rate(self, spark):
+        with pytest.raises(ValueError):
+            training_prep.mixture_sample(_sourced(spark), {"src0": 1.5})
+
+
+class TestPackSequences:
+    def test_hand_computed_bins(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 3), (3, 4), (4, 2), (5, 6), (6, 1)],
+            "doc_id long, n_tokens long",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in training_prep.pack_sequences(df, capacity=8).collect()
+        }
+        # cumulative starts: 0, 5, 8, 12, 14, 20
+        assert [out[i]["start_tok"] for i in range(1, 7)] == [0, 5, 8, 12, 14, 20]
+        assert [out[i]["bin_id"] for i in range(1, 7)] == [0, 0, 1, 1, 1, 2]
+        # only doc 5 (start 14, 6 tokens: 6 past offset 6 of bin 1) crosses
+        assert [i for i in range(1, 7) if out[i]["overflow"]] == [5]
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 11 + 1) for i in range(200)],
+            "doc_id long, n_tokens long",
+        )
+        a = training_prep.pack_sequences(df.repartition(1), 64).toPandas()
+        b = training_prep.pack_sequences(df.repartition(13), 64).toPandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_rejects_bad_capacity(self, spark):
+        with pytest.raises(ValueError):
+            training_prep.pack_sequences(
+                spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long"), 0
+            )
