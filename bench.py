@@ -237,6 +237,8 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("pii_scan", dc.q_pii_scan)
     bench("decontaminate", dc.q_decontaminate)
     bench("line_dedup", dc.q_line_dedup)
+    bench("mixture_sample", dc.q_mixture_sample)
+    bench("pack_sequences", dc.q_pack_sequences)
     bench("cosine_topk", dc.q_cosine_topk)
     # round-4 addition: PQ encode + integer-ADC ranking (the compact-code
     # ANN path); new line, so absent from pre-r4 BENCH files
