@@ -22,19 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_col
-from .text_analysis import _grams_sql
+from .dedup import _shingle_col
 
 
 def _distinct_grams(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    toks = tokenize_col(F.col(text_col))
-    d = df.select(F.col(id_col).alias(out_id), toks.alias("toks"))
-    return d.select(
-        out_id,
-        F.explode(
-            F.array_distinct(F.expr(_grams_sql("toks", n)))
-        ).alias("gram"),
+    # reuse dedup's zip_with gram builder (one evaluation of the token
+    # array per row; the index-transform form re-runs the tokenizer per
+    # element — see _shingle_col's docstring)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(_shingle_col(text_col, n)).alias("gram"),
     )
 
 
@@ -55,9 +54,23 @@ def ngram_overlap(
 
     Both sides run the frozen tokenizer contract, so a benchmark item
     whose text was normalized elsewhere still matches byte-for-byte.
+
+    Refuses bench items shorter than ``n`` tokens: they produce zero
+    n-grams, so they could never flag ANY document — a silent hole in
+    the decontamination guarantee (short QA answers are common in real
+    eval sets). Lower ``n`` or pre-filter such items explicitly.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    n_short = bench.filter(
+        F.size(tokenize_col(F.col(bench_text_col))) < n
+    ).count()
+    if n_short:
+        raise ValueError(
+            f"{n_short} bench item(s) have fewer than n={n} tokens and "
+            "would silently never match any document; lower n or "
+            "pre-filter them"
+        )
     bench_g = _distinct_grams(bench, bench_id_col, bench_text_col, n, "bench_id")
     totals = bench_g.groupBy("bench_id").agg(
         F.count("*").alias("bench_ngrams")

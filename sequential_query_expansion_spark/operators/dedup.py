@@ -62,6 +62,27 @@ def _shingle_col(text_col, n: int):
     return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
+def _dup_groups(keyed: DataFrame, key: str, id_col: str) -> DataFrame:
+    """(key, n_docs, keep_doc, dup_docs) groups from (key, id) pairs:
+    keep_doc the smallest id, dup_docs the rest ascending (unbounded —
+    the slice length is the group size, so a hot key with millions of
+    members is never silently truncated). One hash-groupBy; only
+    (key, id) pairs shuffle."""
+    return (
+        keyed.groupBy(key)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .select(
+            key,
+            "n_docs",
+            F.element_at("ids", 1).alias("keep_doc"),
+            F.expr("slice(ids, 2, size(ids))").alias("dup_docs"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) docs.
 
@@ -69,19 +90,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     and dup_docs the others, ascending. One groupBy on md5 fingerprints.
     """
     fp = fingerprint(docs, id_col=id_col, text_col=text_col)
-    return (
-        fp.groupBy("fp")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list(id_col)).alias("ids"),
-        )
-        .select(
-            "fp",
-            "n_docs",
-            F.element_at("ids", 1).alias("keep_doc"),
-            F.slice("ids", 2, 1_000_000).alias("dup_docs"),
-        )
-    )
+    return _dup_groups(fp, "fp", id_col)
 
 
 def canonical_url(col) -> Column:
@@ -106,21 +115,12 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     same-URL recrawls). -> (canonical, n_docs, keep_doc, dup_docs),
     keep_doc the smallest id. Same single hash-groupBy shape as
     exact_dedup: only (canonical, id) pairs shuffle, never pages."""
-    return (
+    return _dup_groups(
         docs.select(
             canonical_url(F.col(url_col)).alias("canonical"), F.col(id_col)
-        )
-        .groupBy("canonical")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list(id_col)).alias("ids"),
-        )
-        .select(
-            "canonical",
-            "n_docs",
-            F.element_at("ids", 1).alias("keep_doc"),
-            F.slice("ids", 2, 1_000_000).alias("dup_docs"),
-        )
+        ),
+        "canonical",
+        id_col,
     )
 
 
@@ -152,7 +152,14 @@ def line_dedup(
     oracle replays byte-for-byte (same note as decontam)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    d = docs.select(id_col, F.split(F.col(text_col), sep).alias("lines"))
+    if "\\E" in sep:
+        raise ValueError("sep must not contain the regex literal-quote end \\E")
+    # F.split takes a REGEX; \Q...\E quotes the separator so regex
+    # metacharacters ('|', '.', tabs) split literally, matching the
+    # literal concat_ws rejoin below
+    d = docs.select(
+        id_col, F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("lines")
+    )
     lines = d.select(
         id_col, F.posexplode("lines").alias("pos", "line")
     )

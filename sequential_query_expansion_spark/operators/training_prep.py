@@ -106,7 +106,14 @@ def pack_sequences(
     off = F.broadcast(
         docs.sparkSession.createDataFrame(offsets, "_pid int, _off long")
     )
-    w = Window.partitionBy("_pid").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame would sum PEER rows
+    # (duplicate ids) into both peers' cumsums, diverging from the
+    # oracle's ROWS UNBOUNDED PRECEDING
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (
         F.col("_off")
         + F.sum(tokens_col).over(w)

@@ -127,6 +127,16 @@ class TestDecontaminate:
                 _docs(spark, ["a"]), _docs(spark, ["a"]), n=0
             )
 
+    def test_rejects_short_bench_items(self, spark):
+        # a bench item below n tokens yields zero n-grams and could never
+        # flag anything — refuse instead of silently passing it as clean
+        bench = spark.createDataFrame(
+            [(1, "only seven tokens in this short answer")],
+            "bench_id long, text string",
+        )
+        with pytest.raises(ValueError, match="fewer than n=8"):
+            decontam.ngram_overlap(_docs(spark, ["pad"]), bench, n=8)
+
 
 class TestUrlDedup:
     def test_variants_collapse(self, spark):
@@ -193,6 +203,18 @@ class TestLineDedup:
     def test_rejects_min_count_below_two(self, spark):
         with pytest.raises(ValueError):
             dedup.line_dedup(_docs(spark, ["a"]), min_count=1)
+
+    def test_regex_metachar_separator_is_literal(self, spark):
+        # split must treat sep literally (| is regex alternation)
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(
+                _docs(spark, ["a|dup", "dup|b"]), sep="|"
+            ).collect()
+        }
+        assert out[0]["text_dedup"] == "a|dup"
+        assert out[1]["text_dedup"] == "b"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
 
 
 class TestPiiScan:
@@ -323,3 +345,12 @@ class TestPackSequences:
             training_prep.pack_sequences(
                 spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long"), 0
             )
+
+    def test_duplicate_ids_get_distinct_offsets(self, spark):
+        # ROWS frame: id-peers must receive distinct telescoping offsets,
+        # not a shared RANGE-frame cumsum
+        df = spark.createDataFrame(
+            [(7, 5), (7, 5)], "doc_id long, n_tokens long"
+        )
+        out = training_prep.pack_sequences(df, capacity=8)
+        assert sorted(r["start_tok"] for r in out.collect()) == [0, 5]
