@@ -1382,21 +1382,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level dedup (operators/dedup.url_dedup) over deterministic
-    variant URLs derived from doc_id: every group of 4 consecutive ids
-    carries the same page behind scheme/www/query/fragment/case noise,
-    and both engines must canonicalize all four variants together."""
+def _planted_url_col():
+    """Deterministic variant URLs derived from doc_id: every group of 4
+    consecutive ids carries the same page behind scheme/www/query/
+    fragment/case noise — shared by q_url_dedup and the training-set
+    pipeline entry."""
     base = F.floor(F.col("doc_id") / 4).cast("long")
     v = F.col("doc_id") % 4
-    url = (
+    return (
         F.when(v == 0, F.concat(F.lit("https://example.org/p"), base))
         .when(v == 1, F.concat(F.lit("http://www.example.org/p"), base, F.lit("/")))
         .when(v == 2, F.concat(F.lit("https://example.org/p"), base,
                                F.lit("?utm_source=feed")))
         .otherwise(F.concat(F.lit("HTTPS://EXAMPLE.ORG/p"), base, F.lit("#frag")))
     )
-    docs = load_documents(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/dedup.url_dedup) over deterministic
+    variant URLs derived from doc_id: every group of 4 consecutive ids
+    carries the same page behind scheme/www/query/fragment/case noise,
+    and both engines must canonicalize all four variants together."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", _planted_url_col().alias("url")
+    )
     return dedup.url_dedup(docs).select(
         "canonical",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -1445,7 +1454,157 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_prep.pack_sequences(d, capacity=PACK_CAP)
 
 
+REP_MIN_TOKENS = 24            # training-set gate: minimum tokens
+REP_MAX_DUP = 0.6              # training-set gate: max dup_word_frac
+
+
+def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline entry: EVERY pre-training pass chained over
+    one corpus, end-to-end value-oracled —
+
+      URL dedup (keep smallest id per canonical URL)
+      -> corpus-level line dedup over re-lined text + planted boilerplate
+      -> PII redaction (planted emails/IPs/phones)
+      -> Gopher repetition gate (n_tokens >= 24, dup_word_frac <= 0.6,
+         computed on the REDACTED deduped text)
+      -> benchmark decontamination (drop flagged docs)
+      -> mixture sampling by source (importance weights)
+      -> sequence packing into 96-token bins
+
+    Each stage reuses the operator the standalone entries verify; the
+    oracle composes the stage CTEs, so a single wrong byte anywhere in
+    the chain (a line wrongly dropped, a redaction off by one char, a
+    gate rounding differently) shifts every downstream token offset and
+    fails the value hash. -> (doc_id, source, n_tokens, sample_weight,
+    start_tok, bin_id, overflow, text_fp)."""
+    from .operators import decontam, pii, training_prep
+
+    docs = load_documents(spark, sf_dir)
+    # 1. URL dedup: survivors are each group's keep_doc
+    keep = dedup.url_dedup(
+        docs.select("doc_id", _planted_url_col().alias("url"))
+    ).select(F.col("keep_doc").alias("doc_id"))
+    d1 = docs.join(keep, "doc_id").select(
+        "doc_id", "source", tokenize_col(F.col("text")).alias("toks")
+    )
+    # 2. line dedup over the re-lined survivor corpus
+    ld = dedup.line_dedup(
+        d1.select("doc_id", _relined_text_col().alias("text")), min_count=2
+    ).select("doc_id", F.col("text_dedup").alias("text1"))
+    # 3. PII plant + redaction
+    d3 = ld.select(
+        "doc_id",
+        pii.redact_col(_pii_planted_col(F.col("text1"))).alias("text2"),
+    )
+    # 4. repetition gate on the redacted text
+    rs = text_analysis.repetition_stats(
+        d3.select("doc_id", F.col("text2").alias("text"))
+    )
+    good = rs.filter(
+        (F.col("n_tokens") >= REP_MIN_TOKENS)
+        & (F.col("dup_word_frac") <= REP_MAX_DUP)
+    ).select("doc_id", "n_tokens")
+    d4 = d3.join(good, "doc_id")
+    # 5. decontamination: bench spans from the ORIGINAL corpus, matched
+    # against the pipeline text
+    dt = docs.select("doc_id", tokenize_col(F.col("text")).alias("toks"))
+    off, span = DECON_SPAN
+    bench = (
+        dt.filter(F.size("toks") >= DECON_MIN_TOKENS)
+        .orderBy("doc_id")
+        .limit(DECON_BENCH_ITEMS)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.expr(f"slice(toks, {off}, {span})")).alias("text"),
+        )
+    )
+    flagged = (
+        decontam.ngram_overlap(
+            d4.select("doc_id", F.col("text2").alias("text")), bench,
+            n=DECON_N, threshold=DECON_THRESHOLD,
+        )
+        .filter("flagged")
+        .select("doc_id")
+        .distinct()
+    )
+    d5 = d4.join(flagged, "doc_id", "left_anti")
+    # 6. mixture sampling by source (source rejoined from the corpus)
+    samp = training_prep.mixture_sample(
+        d5.join(docs.select("doc_id", "source"), "doc_id"),
+        MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT,
+    )
+    # 7. sequence packing over the sampled survivors
+    packed = training_prep.pack_sequences(
+        samp.select("doc_id", "n_tokens"), capacity=PACK_CAP
+    )
+    return packed.join(
+        samp.select(
+            "doc_id", "source",
+            F.round("sample_weight", 6).alias("sample_weight"),
+            F.md5(F.col("text2").cast("binary")).alias("text_fp"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "source", "n_tokens", "sample_weight",
+        "start_tok", "bin_id", "overflow", "text_fp",
+    )
+
+
 LINE_W = 6                     # tokens per synthetic line for line_dedup
+
+
+def _relined_text_col():
+    """Document text re-lined into LINE_W-token lines with planted
+    boilerplate (a shared footer on every doc, one of three promo lines
+    on every 5th) — the deterministic line_dedup fixture, shared by
+    q_line_dedup and the training-set pipeline entry. Expects columns
+    ``doc_id`` and ``toks``."""
+    body = F.concat_ws(
+        "\n",
+        F.expr(
+            f"IF(size(toks) = 0, CAST(array() AS array<string>), "
+            f"transform(sequence(1, CAST(ceil(size(toks) / {LINE_W}.0) AS INT)), "
+            f"i -> concat_ws(' ', slice(toks, (i - 1) * {LINE_W} + 1, {LINE_W}))))"
+        ),
+    )
+    did = F.col("doc_id")
+    return F.concat(
+        body,
+        F.lit("\nall rights reserved footer"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("\nsubscribe tier "), (did % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_planted_col(text_col):
+    """``text_col`` with deterministic planted PII (emails on ids %3,
+    IPs on %4, phones on %5) — shared by q_pii_scan and the training-set
+    pipeline entry. Expects a ``doc_id`` column."""
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    return F.concat(
+        text_col,
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" mail u"), s(d % 7), F.lit("@host"), s(d % 5),
+                     F.lit(".example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" from 10."), s(d % 200), F.lit("."), s(d % 50),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-0"), s(d % 90 + 10), F.lit("-"),
+                     s(d % 9000 + 1000)),
+        ).otherwise(F.lit("")),
+    )
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,24 +1619,9 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the byte-level reassembly."""
     toks = tokenize_col(F.col("text"))
     d = load_documents(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    body = F.concat_ws(
-        "\n",
-        F.expr(
-            f"IF(size(toks) = 0, CAST(array() AS array<string>), "
-            f"transform(sequence(1, CAST(ceil(size(toks) / {LINE_W}.0) AS INT)), "
-            f"i -> concat_ws(' ', slice(toks, (i - 1) * {LINE_W} + 1, {LINE_W}))))"
-        ),
+    out = dedup.line_dedup(
+        d.select("doc_id", _relined_text_col().alias("text")), min_count=2
     )
-    did = F.col("doc_id")
-    txt = F.concat(
-        body,
-        F.lit("\nall rights reserved footer"),
-        F.when(
-            did % 5 == 0,
-            F.concat(F.lit("\nsubscribe tier "), (did % 3).cast("string")),
-        ).otherwise(F.lit("")),
-    )
-    out = dedup.line_dedup(d.select("doc_id", txt.alias("text")), min_count=2)
     return out.select(
         "doc_id",
         "n_lines",
@@ -1495,30 +1639,9 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(redacted) — byte-level masking is what the value check verifies."""
     from .operators import pii
 
-    d = F.col("doc_id")
-
-    def s(col):
-        return col.cast("string")
-
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            d % 3 == 0,
-            F.concat(F.lit(" mail u"), s(d % 7), F.lit("@host"), s(d % 5),
-                     F.lit(".example.org")),
-        ).otherwise(F.lit("")),
-        F.when(
-            d % 4 == 0,
-            F.concat(F.lit(" from 10."), s(d % 200), F.lit("."), s(d % 50),
-                     F.lit(".7")),
-        ).otherwise(F.lit("")),
-        F.when(
-            d % 5 == 0,
-            F.concat(F.lit(" call 555-0"), s(d % 90 + 10), F.lit("-"),
-                     s(d % 9000 + 1000)),
-        ).otherwise(F.lit("")),
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", _pii_planted_col(F.col("text")).alias("text")
     )
-    docs = load_documents(spark, sf_dir).select("doc_id", planted.alias("text"))
     return pii.pii_scan(docs).select(
         "doc_id",
         "n_email",
@@ -4257,6 +4380,118 @@ SELECT doc_id,
 FROM p
 """
 
+    # training-set build: the full pipeline composed as one CTE chain —
+    # url dedup -> line dedup -> PII redact -> repetition gate ->
+    # decontamination -> mixture sample -> sequence packing. Every stage
+    # reuses the standalone entry's SQL shape; a wrong byte anywhere
+    # shifts every downstream token offset and fails the hash.
+    def _redact(col):
+        out = col
+        for name, pat in _PII:
+            out = f"regexp_replace({out}, '{pat}', '[{name.upper()}]', 'g')"
+        return out
+
+    _pii_plant = """
+        CASE WHEN doc_id % 3 = 0 THEN ' mail u' || (doc_id % 7) || '@host' ||
+             (doc_id % 5) || '.example.org' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 200) || '.' ||
+             (doc_id % 50) || '.7' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' call 555-0' || (doc_id % 90 + 10) ||
+             '-' || (doc_id % 9000 + 1000) ELSE '' END
+    """
+    _tok2 = TOKENIZE_SQL_DUCKDB.format(col="text2")
+    sql["training_set_build"] = f"""
+WITH {_BASE},
+uu AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://example.org/p' || (doc_id // 4)
+           WHEN 1 THEN 'http://www.example.org/p' || (doc_id // 4) || '/'
+           WHEN 2 THEN 'https://example.org/p' || (doc_id // 4) || '?utm_source=feed'
+           ELSE 'HTTPS://EXAMPLE.ORG/p' || (doc_id // 4) || '#frag'
+         END AS url
+  FROM documents),
+uc AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url), '^https?://', ''), '^www\\.', ''),
+                 '[?#].*$', ''), '/$', '') AS canonical
+       FROM uu),
+surv1 AS (SELECT min(doc_id) AS doc_id FROM uc GROUP BY canonical),
+ci AS (SELECT d.doc_id,
+              unnest(generate_series(1, CAST(ceil(len(d.toks) / {LINE_W}.0) AS INT))) AS i
+       FROM doctoks d JOIN surv1 USING (doc_id) WHERE len(d.toks) > 0),
+body AS (SELECT c.doc_id,
+                string_agg(array_to_string(
+                    d.toks[(c.i - 1) * {LINE_W} + 1:(c.i - 1) * {LINE_W} + {LINE_W}],
+                    ' '), chr(10) ORDER BY c.i) AS b
+         FROM ci c JOIN doctoks d USING (doc_id) GROUP BY c.doc_id),
+txt AS (SELECT s.doc_id,
+               coalesce(b.b, '') || chr(10) || 'all rights reserved footer' ||
+               CASE WHEN s.doc_id % 5 = 0
+                    THEN chr(10) || 'subscribe tier ' || (s.doc_id % 3)
+                    ELSE '' END AS t
+        FROM surv1 s LEFT JOIN body b USING (doc_id)),
+l0 AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM txt),
+li AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS i FROM l0),
+lns AS (SELECT li.doc_id, li.i, l0.lst[li.i] AS ln
+        FROM li JOIN l0 USING (doc_id)),
+rk AS (SELECT doc_id, i, ln,
+              count(*) OVER (PARTITION BY ln) AS cnt,
+              row_number() OVER (PARTITION BY ln ORDER BY doc_id, i) AS rn
+       FROM lns),
+kept AS (SELECT doc_id, i, ln FROM rk WHERE cnt < 2 OR rn = 1),
+t1 AS (SELECT l0.doc_id,
+              coalesce(k.t2, '') AS text1
+       FROM l0 LEFT JOIN (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS t2
+                          FROM kept GROUP BY doc_id) k USING (doc_id)),
+red AS (SELECT doc_id,
+               {_redact("(text1 || " + _pii_plant + ")")} AS text2
+        FROM t1),
+dt2 AS (SELECT doc_id, {_tok2} AS toks2 FROM red),
+gate AS (SELECT doc_id, len(toks2)::BIGINT AS n_tokens FROM dt2
+         WHERE len(toks2) >= {REP_MIN_TOKENS}
+           AND round(CASE WHEN len(toks2) > 0
+                 THEN (len(toks2) - len(list_distinct(toks2)))::DOUBLE / len(toks2)
+                 ELSE 0.0 END, 6) <= {REP_MAX_DUP}),
+longd AS (SELECT doc_id AS bench_id, toks[{DECON_SPAN[0]}:{DECON_SPAN[0] + DECON_SPAN[1] - 1}] AS btoks
+          FROM doctoks WHERE len(toks) >= {DECON_MIN_TOKENS}
+          ORDER BY doc_id LIMIT {DECON_BENCH_ITEMS}),
+bgi AS (SELECT bench_id, unnest(generate_series(1, {DECON_SPAN[1] - DECON_N + 1})) AS i
+        FROM longd),
+bgrams AS (SELECT DISTINCT b.bench_id,
+                  array_to_string(l.btoks[b.i:b.i+{DECON_N - 1}], ' ') AS gram
+           FROM bgi b JOIN longd l USING (bench_id)),
+btot AS (SELECT bench_id, count(*)::BIGINT AS bench_ngrams
+         FROM bgrams GROUP BY bench_id),
+dgi2 AS (SELECT d.doc_id, unnest(generate_series(1, len(d.toks2) - {DECON_N - 1})) AS i
+         FROM dt2 d JOIN gate USING (doc_id) WHERE len(d.toks2) >= {DECON_N}),
+dgrams2 AS (SELECT DISTINCT g.doc_id,
+                   array_to_string(d.toks2[g.i:g.i+{DECON_N - 1}], ' ') AS gram
+            FROM dgi2 g JOIN dt2 d USING (doc_id)),
+m2 AS (SELECT d.doc_id, b.bench_id, count(*)::BIGINT AS matched
+       FROM dgrams2 d JOIN bgrams b USING (gram) GROUP BY d.doc_id, b.bench_id),
+flag AS (SELECT DISTINCT m2.doc_id
+         FROM m2 JOIN btot USING (bench_id)
+         WHERE matched::DOUBLE / bench_ngrams >= {DECON_THRESHOLD}),
+mx AS (SELECT g.doc_id, g.n_tokens, doc.source,
+              CASE doc.source {mix_case} ELSE {MIX_DEFAULT!r} END AS rate,
+              ('0x' || substr(md5('{MIX_SALT}:' || g.doc_id), 1, 6))::BIGINT
+                  / {16 ** 6}.0 AS u
+       FROM gate g JOIN documents doc USING (doc_id)
+       WHERE g.doc_id NOT IN (SELECT doc_id FROM flag)),
+sampled AS (SELECT doc_id, source, n_tokens, round(1.0 / rate, 6) AS sample_weight
+            FROM mx WHERE u < rate),
+pk AS (SELECT doc_id, source, n_tokens, sample_weight,
+              (sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_tok
+       FROM sampled)
+SELECT pk.doc_id, pk.source, pk.n_tokens, pk.sample_weight, pk.start_tok,
+       (pk.start_tok // {PACK_CAP})::BIGINT AS bin_id,
+       ((pk.start_tok % {PACK_CAP}) + pk.n_tokens > {PACK_CAP}) AS overflow,
+       md5(red.text2) AS text_fp
+FROM pk JOIN red USING (doc_id)
+"""
+
     # audio features: duration + clip-mean MFCCs recomputed from the RAW
     # int16 samples (no WAV in the oracle's loop) then quantized through
     # float32 like the engine's stored features — the RIFF encode->decode
@@ -4322,6 +4557,7 @@ SPARK_QUERIES = {
     "line_dedup": q_line_dedup,              # C4-style boilerplate lines
     "mixture_sample": q_mixture_sample,      # deterministic data mixing
     "pack_sequences": q_pack_sequences,      # token-bin sequence packing
+    "training_set_build": q_training_set_build,  # full pipeline composed
     # last driver row r2/r3 (rotate back through the driver)
     "cooccur_expand": q_cooccur_expand,
     "feature_expand": q_feature_expand,
