@@ -239,6 +239,9 @@ def run_suite(out_path: str | None = None) -> dict:
     bench("line_dedup", dc.q_line_dedup)
     bench("mixture_sample", dc.q_mixture_sample)
     bench("pack_sequences", dc.q_pack_sequences)
+    # the composed pipeline: url dedup -> line dedup -> PII redact ->
+    # repetition gate -> decontam -> mixture -> pack, one lineage
+    bench("training_set_build", dc.q_training_set_build)
     bench("cosine_topk", dc.q_cosine_topk)
     # round-4 addition: PQ encode + integer-ADC ranking (the compact-code
     # ANN path); new line, so absent from pre-r4 BENCH files

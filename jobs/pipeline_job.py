@@ -130,9 +130,12 @@ def main() -> int:
         )
         d = d.join(flagged, idc, "left_anti")
 
+    # cut the lineage once: pack_sequences checkpoints its own input and
+    # the final join re-reads samp — without this the full upstream
+    # chain executes twice
     samp = training_prep.mixture_sample(
         d, rates, default_rate=args.default_rate, id_col=idc, salt=args.salt,
-    )
+    ).localCheckpoint()
     packed = training_prep.pack_sequences(
         samp.select(idc, "n_tokens"), capacity=args.capacity, id_col=idc
     )
