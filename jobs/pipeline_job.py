@@ -4,8 +4,11 @@
 Chains every pre-training pass over a web-text table and writes a
 packed training set:
 
-    [URL dedup] -> [line dedup] -> repetition gate -> PII redaction ->
+    [URL dedup] -> line dedup -> PII redaction -> repetition gate ->
     [decontamination] -> mixture sampling -> sequence packing
+
+(the repetition gate runs on the REDACTED deduplicated text — the text
+that would actually be trained on)
 
 Bracketed stages run only when their input exists (--url-col for URL
 dedup, --bench for decontamination); the rest always run. Output
@@ -39,10 +42,15 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 def _parse_rates(spec: str) -> dict:
     rates = {}
     for part in filter(None, spec.split(",")):
-        src, _, r = part.partition("=")
-        if not _:
-            raise SystemExit(f"--rates entry {part!r} is not src=rate")
-        rates[src] = float(r)
+        src, eq, r = part.partition("=")
+        try:
+            if not eq:
+                raise ValueError
+            rates[src.strip()] = float(r)
+        except ValueError:
+            raise SystemExit(
+                f"--rates entry {part!r} is not src=rate (rate a float)"
+            )
     return rates
 
 
@@ -96,11 +104,11 @@ def main() -> int:
     )
     docs = read(args.input)
     idc, txc = args.id_col, args.text_col
-    n0 = docs.count()
 
     if args.url_col:
         keep = dedup.url_dedup(
-            docs.select(F.col(idc), F.col(args.url_col).alias("url"))
+            docs.select(F.col(idc), F.col(args.url_col).alias("url")),
+            id_col=idc,
         ).select(F.col("keep_doc").alias(idc))
         docs = docs.join(keep, idc)
 
@@ -126,7 +134,8 @@ def main() -> int:
                 d.select(idc, "text"), spark.read.parquet(args.bench),
                 n=args.decon_n, threshold=args.decon_threshold, id_col=idc,
             )
-            .filter("flagged").select(F.col(idc)).distinct()
+            # ngram_overlap's output id column is always named doc_id
+            .filter("flagged").select(F.col("doc_id").alias(idc)).distinct()
         )
         d = d.join(flagged, idc, "left_anti")
 
@@ -147,10 +156,12 @@ def main() -> int:
     )
     out.write.mode("overwrite").parquet(args.output)
 
+    # summary reads the (small) OUTPUT only — no extra pass over the
+    # input table just for a log line
     written = spark.read.parquet(args.output)
     n, bins = written.count(), written.select("bin_id").distinct().count()
     toks = written.agg(F.sum("n_tokens")).first()[0] or 0
-    print(f"PIPELINE input_docs={n0} kept_docs={n} bins={bins} "
+    print(f"PIPELINE kept_docs={n} bins={bins} "
           f"tokens={toks} capacity={args.capacity} -> {args.output}")
     return 0
 

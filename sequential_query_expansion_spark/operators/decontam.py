@@ -62,8 +62,14 @@ def ngram_overlap(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # the bench side is small by design (it gets broadcast below);
+    # localCheckpoint so the eager guard count and the gram build read
+    # one materialization instead of executing the bench lineage twice.
+    # coalesce: a NULL text tokenizes to NULL, which `< n` would let
+    # slip past the guard — exactly the silent hole being closed.
+    bench = bench.localCheckpoint()
     n_short = bench.filter(
-        F.size(tokenize_col(F.col(bench_text_col))) < n
+        F.coalesce(F.size(tokenize_col(F.col(bench_text_col))), F.lit(0)) < n
     ).count()
     if n_short:
         raise ValueError(

@@ -1,5 +1,5 @@
 """End-to-end test of jobs/pipeline_job.py — the full training-data
-pipeline (line dedup -> repetition gate -> PII redact -> decontam ->
+pipeline (line dedup -> PII redact -> repetition gate -> decontam ->
 mixture sample -> pack) over the sf0.001 fixture, in-process against
 the shared session."""
 
@@ -74,10 +74,40 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch, job):
 
 
 def test_pipeline_job_rejects_bad_rates(spark, tmp_path, monkeypatch, job):
+    for bad in ("src0:0.5", "src0=", "src0=abc"):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["pipeline_job.py", "--input",
+             os.path.join(SF_DIR, "documents.parquet"),
+             "--output", str(tmp_path / "x"), "--rates", bad],
+        )
+        with pytest.raises(SystemExit):
+            job.main()
+
+
+def test_pipeline_job_custom_id_col(spark, tmp_path, monkeypatch, job):
+    # every stage must thread a non-default id column (url dedup,
+    # decontam's fixed doc_id output, packing)
+    docs_path = str(tmp_path / "renamed.parquet")
+    bench_path = str(tmp_path / "bench.parquet")
+    out_path = str(tmp_path / "tset")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.selectExpr(
+        "doc_id AS page_id", "text", "source",
+        "concat('https://h.org/', CAST(doc_id % 100 AS STRING)) AS url",
+    ).write.parquet(docs_path)
+    docs.limit(2).selectExpr(
+        "doc_id AS bench_id", "substr(text, 1, 80) AS text"
+    ).write.parquet(bench_path)
+
     monkeypatch.setattr(
         sys, "argv",
-        ["pipeline_job.py", "--input", os.path.join(SF_DIR, "documents.parquet"),
-         "--output", str(tmp_path / "x"), "--rates", "src0:0.5"],
+        ["pipeline_job.py", "--input", docs_path, "--output", out_path,
+         "--id-col", "page_id", "--url-col", "url",
+         "--bench", bench_path, "--capacity", "256"],
     )
-    with pytest.raises(SystemExit):
-        job.main()
+    assert job.main() == 0
+    out = spark.read.parquet(out_path)
+    assert "page_id" in out.columns and out.count() > 0
+    # url dedup kept one page per canonical (100 distinct urls)
+    assert out.count() <= 100

@@ -137,6 +137,15 @@ class TestDecontaminate:
         with pytest.raises(ValueError, match="fewer than n=8"):
             decontam.ngram_overlap(_docs(spark, ["pad"]), bench, n=8)
 
+    def test_rejects_null_bench_text(self, spark):
+        # NULL text tokenizes to NULL — it must trip the short-item
+        # guard, not slip past the < n comparison
+        bench = spark.createDataFrame(
+            [(1, None)], "bench_id long, text string"
+        )
+        with pytest.raises(ValueError, match="fewer than n=8"):
+            decontam.ngram_overlap(_docs(spark, ["pad"]), bench, n=8)
+
 
 class TestUrlDedup:
     def test_variants_collapse(self, spark):
