@@ -1633,6 +1633,25 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot resolution (operators/dedup.latest_snapshot) over the
+    planted URL variants plus a deterministic warc_ts (epoch seconds =
+    base + doc_id // 2, so every 4-variant URL group holds two ts TIES
+    and the (ts, id) struct-max must break them by id — the oracle
+    replays the pick with a row_number window ordered ts DESC, id DESC,
+    an independent op shape)."""
+    ts = (F.lit(1_700_000_000) + F.floor(F.col("doc_id") / 2)).cast("long")
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", _planted_url_col().alias("url"), ts.alias("warc_ts")
+    )
+    return dedup.latest_snapshot(docs).select(
+        "canonical",
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+        F.col("keep_doc").cast("long").alias("keep_doc"),
+        F.col("latest_ts").cast("long").alias("latest_ts"),
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.pii_scan) over the corpus
     text with deterministic planted PII (emails on ids %3, IPs on %4,
@@ -4349,6 +4368,33 @@ SELECT l0.doc_id, len(l0.lst)::BIGINT AS n_lines,
 FROM l0 LEFT JOIN agg a USING (doc_id)
 """
 
+    # latest snapshot: arg-max replayed with a window (independent shape
+    # vs the engine's struct-max aggregate); ties planted by construction
+    sql["latest_snapshot"] = """
+WITH u AS (
+  SELECT doc_id, 1700000000 + (doc_id // 2) AS warc_ts,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://example.org/p' || (doc_id // 4)
+           WHEN 1 THEN 'http://www.example.org/p' || (doc_id // 4) || '/'
+           WHEN 2 THEN 'https://example.org/p' || (doc_id // 4) || '?utm_source=feed'
+           ELSE 'HTTPS://EXAMPLE.ORG/p' || (doc_id // 4) || '#frag'
+         END AS url
+  FROM documents),
+c AS (SELECT doc_id, warc_ts,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url), '^https?://', ''), '^www\\.', ''),
+                 '[?#].*$', ''), '/$', '') AS canonical
+      FROM u),
+r AS (SELECT canonical, doc_id, warc_ts,
+             count(*) OVER (PARTITION BY canonical) AS n_snapshots,
+             row_number() OVER (PARTITION BY canonical
+                                ORDER BY warc_ts DESC, doc_id DESC) AS rn
+      FROM c)
+SELECT canonical, n_snapshots::BIGINT AS n_snapshots,
+       doc_id::BIGINT AS keep_doc, warc_ts::BIGINT AS latest_ts
+FROM r WHERE rn = 1
+"""
+
     # PII scan: the plant and the pattern table replayed verbatim (the
     # patterns use only Java/RE2-identical syntax); md5(redacted) pins the
     # byte-level masking, not just the counts
@@ -4555,6 +4601,7 @@ SPARK_QUERIES = {
     "repetition_stats": q_repetition_stats,  # Gopher repetition gates
     "decontaminate": q_decontaminate,        # benchmark n-gram overlap
     "url_dedup": q_url_dedup,                # URL canonicalization dedup
+    "latest_snapshot": q_latest_snapshot,    # keep newest crawl per URL
     "audio_features": q_audio_features,      # WAV -> duration + MFCCs
     "pii_scan": q_pii_scan,                  # PII counts + redaction
     "line_dedup": q_line_dedup,              # C4-style boilerplate lines

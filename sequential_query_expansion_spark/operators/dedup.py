@@ -124,6 +124,42 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     )
 
 
+def latest_snapshot(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot resolution for re-crawled pages: per canonical URL keep
+    the LATEST crawl (max ``ts_col``; ties broken by max ``id_col`` so
+    the winner is deterministic). This is the ingest-time complement of
+    url_dedup — url_dedup keeps the first id (cheapest stable pick for
+    dedup bookkeeping), latest_snapshot keeps the newest content (what a
+    training corpus actually wants from a crawl with a ``warc_ts``
+    column).
+
+    -> (canonical, n_snapshots, keep_doc, latest_ts).
+
+    100 TB shape: one hash-groupBy carrying a single (ts, id) struct
+    max per group — map-side combined, constant state per key; neither
+    page text nor the loser rows ever shuffle."""
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col))).alias("best")
+    return (
+        docs.select(
+            canonical_url(F.col(url_col)).alias("canonical"),
+            F.col(ts_col), F.col(id_col),
+        )
+        .groupBy("canonical")
+        .agg(F.count("*").alias("n_snapshots"), best)
+        .select(
+            "canonical",
+            "n_snapshots",
+            F.col(f"best.{id_col}").alias("keep_doc"),
+            F.col(f"best.{ts_col}").alias("latest_ts"),
+        )
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     min_count: int = 2,

@@ -178,6 +178,25 @@ class TestUrlDedup:
         assert len(out) == 1 and out[0]["n_docs"] == 2
 
 
+class TestLatestSnapshot:
+    def test_newest_wins_ties_by_id(self, spark):
+        rows = [
+            # same page, three crawls: 2 and 3 tie on ts -> id 3 wins
+            (1, "https://a.org/x", 100),
+            (2, "http://www.a.org/x/", 200),
+            (3, "HTTPS://A.ORG/x#f", 200),
+            (4, "https://a.org/y", 50),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts long"
+        )
+        out = {r["canonical"]: r for r in dedup.latest_snapshot(df).collect()}
+        assert out["a.org/x"]["keep_doc"] == 3
+        assert out["a.org/x"]["latest_ts"] == 200
+        assert out["a.org/x"]["n_snapshots"] == 3
+        assert out["a.org/y"]["keep_doc"] == 4
+
+
 class TestLineDedup:
     def test_first_occurrence_survives(self, spark):
         texts = [
